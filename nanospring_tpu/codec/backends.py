@@ -1,0 +1,101 @@
+"""Host-CPU entropy-coding backends for the archive streams.
+
+Role of libbsc (BWT + QLFC, reference: src/bsc.cpp, 48 MB blocks, coder e2)
+and fast-lzma2 (reference: src/lzma2.cpp, preset 6) — entropy coding is
+byte-serial and branchy, the wrong shape for the TPU, so this stage stays on
+host CPUs (SURVEY.md §2.3).
+
+Current backends use the stdlib's native (C) codecs:
+- ``bz2``  — BWT + MTF + Huffman, the same codec family as libbsc; used for
+  the genome/pos/type/complement/lone/id/exc streams.
+- ``lzma`` — LZMA, the same family as fast-lzma2; used for the ``base``
+  stream (reference maps .base -> lzma2, src/Compressor.cpp:126-130).
+Streams are chunked so multi-core compressors can parallelize by chunk.
+
+A from-scratch C++ BWT/rank-coder stage (nanospring_tpu/native) replaces
+these when ratio parity requires it.
+"""
+
+from __future__ import annotations
+
+import bz2
+import concurrent.futures as cf
+import lzma
+import struct
+import zlib
+
+_CHUNK = 48 << 20  # 48 MB blocks, like the reference's bsc usage
+
+_LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
+
+
+def _bz2_c(b: bytes) -> bytes:
+    return bz2.compress(b, 9)
+
+
+def _bz2_d(b: bytes) -> bytes:
+    return bz2.decompress(b)
+
+
+def _lzma_c(b: bytes) -> bytes:
+    return lzma.compress(b, format=lzma.FORMAT_RAW, filters=_LZMA_FILTERS)
+
+
+def _lzma_d(b: bytes) -> bytes:
+    return lzma.decompress(b, format=lzma.FORMAT_RAW, filters=_LZMA_FILTERS)
+
+
+def _zlib_c(b: bytes) -> bytes:
+    return zlib.compress(b, 6)
+
+
+def _zlib_d(b: bytes) -> bytes:
+    return zlib.decompress(b)
+
+
+_BACKENDS: dict[str, tuple] = {
+    "bz2": (_bz2_c, _bz2_d),
+    "lzma": (_lzma_c, _lzma_d),
+    "zlib": (_zlib_c, _zlib_d),
+    "raw": (lambda b: b, lambda b: b),
+}
+
+
+def register(name: str, compress_fn, decompress_fn) -> None:
+    _BACKENDS[name] = (compress_fn, decompress_fn)
+
+
+def compress(name: str, data: bytes, pool: cf.Executor | None = None) -> bytes:
+    """Chunked compression: [u32 nchunks][u64 raw_len per chunk][payloads...].
+
+    Chunking bounds memory like the reference's 48 MB bsc blocks and lets a
+    thread pool run chunks in parallel (the stdlib codecs release the GIL).
+    """
+    c, _ = _BACKENDS[name]
+    chunks = [data[i : i + _CHUNK] for i in range(0, len(data), _CHUNK)] or [b""]
+    if pool is not None and len(chunks) > 1:
+        payloads = list(pool.map(c, chunks))
+    else:
+        payloads = [c(ch) for ch in chunks]
+    header = struct.pack("<I", len(chunks)) + b"".join(
+        struct.pack("<Q", len(p)) for p in payloads
+    )
+    return header + b"".join(payloads)
+
+
+def decompress(name: str, data: bytes, pool: cf.Executor | None = None) -> bytes:
+    _, d = _BACKENDS[name]
+    (nchunks,) = struct.unpack_from("<I", data, 0)
+    off = 4
+    sizes = []
+    for _ in range(nchunks):
+        (sz,) = struct.unpack_from("<Q", data, off)
+        sizes.append(sz)
+        off += 8
+    payloads = []
+    for sz in sizes:
+        payloads.append(data[off : off + sz])
+        off += sz
+    if pool is not None and nchunks > 1:
+        return b"".join(pool.map(d, payloads))
+    return b"".join(d(p) for p in payloads)

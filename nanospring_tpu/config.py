@@ -1,0 +1,73 @@
+"""Configuration for compression / decompression.
+
+Defaults mirror the reference CLI defaults (reference: src/main.cpp:47-78 —
+k=23, n=60, overlap-sketch-thr=6, minimap k=20/w=50, max-chain-iter=400,
+edge-thr=4e6, t=20, decompression-memory=5 GB) so ratio comparisons are
+apples-to-apples, but the knobs control a different, TPU-first pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+
+
+@dataclasses.dataclass
+class CompressConfig:
+    # --- MinHash sketching (reference: src/ReadFilter.cpp) ---
+    kmer_size: int = 23                # -k: sketch k-mer length (<=32)
+    num_hashes: int = 60               # -n: hash functions per sketch
+    overlap_sketch_threshold: int = 6  # min matching sketch slots for a candidate
+    sketch_seed: int = 0x5EEDF00D      # deterministic (reference uses random_device)
+
+    # --- seeding / alignment (reference: minimap2 map-ont usage) ---
+    seed_kmer_size: int = 20           # --minimap-k analog: anchor k-mer size
+    seed_window: int = 50              # --minimap-w analog: minimizer window
+    max_chain_iter: int = 400          # chaining iteration cap analog
+    band_width: int = 128              # banded-DP half-width for extension
+    max_edit_frac: float = 0.5         # reject alignment if edits/len above this
+
+    # --- contig building (reference: src/Consensus.cpp) ---
+    edge_threshold: int = 4_000_000    # --edge-thr analog: cap on contig work
+    window_step_frac: float = 0.25     # window step = avgReadLen * this (ref :54)
+    min_read_len_for_sketch: int = 32  # reads shorter than this are lone reads
+    repetitive_offsets: int = 6        # self-similarity screen offsets 1..6
+    repetitive_threshold: float = 0.7  # Hamming self-similarity cutoff
+    polish_rounds: int = 1             # consensus column-voting rounds
+
+    # --- batching (TPU shapes) ---
+    sketch_batch_reads: int = 4096     # reads per sketch kernel launch
+    align_batch: int = 512             # (window, candidate) pairs per align launch
+    max_read_len_bucket: int = 1 << 17 # pad bucket ceiling for kernel launches
+
+    # --- pipeline selection ---
+    disable_assembly: bool = False     # True: every read stored lone (testing)
+
+    # --- resources ---
+    num_threads: int = 0               # 0 = os.cpu_count(); host-side pools
+    low_mem: bool = False              # disk-backed read store
+    work_dir: str | None = None        # temp dir root (None -> system tmp)
+
+    # --- codec stage (reference: src/Compressor.cpp:126-130) ---
+    base_codec: str = "lzma"           # .base stream codec (ref: fast-lzma2)
+    default_codec: str = "bz2"         # other streams (ref: libbsc, BWT-class)
+
+    def resolved_threads(self) -> int:
+        return self.num_threads or (os.cpu_count() or 1)
+
+    def resolved_work_root(self) -> str:
+        return self.work_dir or tempfile.gettempdir()
+
+
+@dataclasses.dataclass
+class DecompressConfig:
+    memory_gb: float = 5.0             # --decompression-memory analog: reorder budget
+    num_threads: int = 0
+    work_dir: str | None = None
+
+    def resolved_threads(self) -> int:
+        return self.num_threads or (os.cpu_count() or 1)
+
+    def resolved_work_root(self) -> str:
+        return self.work_dir or tempfile.gettempdir()

@@ -1,0 +1,264 @@
+"""Decompression: archive -> byte-identical read sequences, original order.
+
+The reference replays edit scripts read-at-a-time in C++
+(reference: src/Decompressor.cpp:105-172 regeneration, :252-314 generateRead,
+:186-235 memory-bounded reorder). Here the replay is one numpy "op tape"
+over *all* contig reads at once: tokens (unchanged-runs and edits) are
+expanded with repeat/cumsum into flat gather indices against the concatenated
+consensus buffer and the literal-base stream — no per-read Python.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+
+import numpy as np
+
+from .config import DecompressConfig
+from .io import archive
+from .io import streams as st
+from .utils.observe import StageTimer
+
+# ASCII complement LUT (A<->T, C<->G); non-ACGT maps to itself (exceptions
+# are re-applied after strand resolution anyway).
+_COMP = np.arange(256, dtype=np.uint8)
+for _a, _b in ((ord("A"), ord("T")), (ord("C"), ord("G"))):
+    _COMP[_a], _COMP[_b] = _b, _a
+
+
+def _excl_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x), dtype=np.int64)
+    if len(x) > 1:
+        np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def _segmented_before(values: np.ndarray, group_starts_idx: np.ndarray,
+                      group_sizes: np.ndarray) -> np.ndarray:
+    """Within-group exclusive prefix sums for concatenated groups."""
+    cc = _excl_cumsum(values)
+    base = cc[group_starts_idx] if len(group_starts_idx) else np.zeros(0, np.int64)
+    return cc - np.repeat(base, group_sizes)
+
+
+def _expand_gather(offs: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Flat indices [offs[i] .. offs[i]+sizes[i]) concatenated."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    within = np.arange(total, dtype=np.int64) - np.repeat(_excl_cumsum(sizes), sizes)
+    return np.repeat(offs, sizes) + within
+
+
+def replay_contig_reads(
+    genome_flat: np.ndarray,       # ASCII consensus bytes, concatenated
+    genome_offsets: np.ndarray,    # int64 (C,) start of each contig's consensus
+    contig_of_member: np.ndarray,  # int64 (M,)
+    start: np.ndarray,             # int64 (M,)
+    head: np.ndarray,
+    tail: np.ndarray,
+    n_edits: np.ndarray,
+    runs_flat: np.ndarray,         # int64, E_r+1 per read
+    types_flat: np.ndarray,        # uint8 'i'/'d'/'s', E_r per read
+    bases_flat: np.ndarray,        # uint8 ASCII literals per read
+    strand: np.ndarray,            # uint8, 1 = reverse-complemented
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (flat ASCII member sequences, member lengths)."""
+    M = len(start)
+    if M == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+
+    E = n_edits.astype(np.int64)
+    ntok = 2 * E + 1
+    tok_offs = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(ntok, out=tok_offs[1:])
+    T = int(tok_offs[-1])
+
+    # token kinds: 0=copy-run, 1='s', 2='i', 3='d'
+    kind = np.zeros(T, dtype=np.uint8)
+    # scatter runs into even local slots, edits into odd local slots
+    nruns = E + 1
+    run_tgt = np.repeat(tok_offs[:-1], nruns) + 2 * (
+        np.arange(int(nruns.sum()), dtype=np.int64)
+        - np.repeat(_excl_cumsum(nruns), nruns)
+    )
+    edit_tgt = np.repeat(tok_offs[:-1], E) + 1 + 2 * (
+        np.arange(int(E.sum()), dtype=np.int64) - np.repeat(_excl_cumsum(E), E)
+    )
+    emit_n = np.zeros(T, dtype=np.int64)
+    consume_n = np.zeros(T, dtype=np.int64)
+    lit_n = np.zeros(T, dtype=np.int64)
+    emit_n[run_tgt] = runs_flat
+    consume_n[run_tgt] = runs_flat
+    is_s = types_flat == ord("s")
+    is_i = types_flat == ord("i")
+    kind[edit_tgt] = np.where(is_s, 1, np.where(is_i, 2, 3)).astype(np.uint8)
+    emit_n[edit_tgt] = (is_s | is_i).astype(np.int64)
+    consume_n[edit_tgt] = (~is_i).astype(np.int64)
+    lit_n[edit_tgt] = (is_s | is_i).astype(np.int64)
+
+    # per-read literal layout in bases_flat: head | script literals | tail
+    n_script_lit = np.zeros(M, dtype=np.int64)
+    np.add.at(n_script_lit, np.repeat(np.arange(M), E), lit_n[edit_tgt])
+    lit_total = head + n_script_lit + tail
+    lit_offs = _excl_cumsum(lit_total)
+
+    # within-read prefix sums over tokens
+    consume_before = _segmented_before(consume_n, tok_offs[:-1], ntok)
+    lit_before = _segmented_before(lit_n, tok_offs[:-1], ntok)
+    emit_before = _segmented_before(emit_n, tok_offs[:-1], ntok)
+
+    body_len = np.zeros(M, dtype=np.int64)
+    np.add.at(body_len, np.repeat(np.arange(M), ntok), emit_n)
+    out_len = head + body_len + tail
+    out_offs = _excl_cumsum(out_len)
+    out = np.empty(int(out_len.sum()), dtype=np.uint8)
+
+    # heads and tails: straight literal copies
+    out[_expand_gather(out_offs, head)] = bases_flat[_expand_gather(lit_offs, head)]
+    out[_expand_gather(out_offs + head + body_len, tail)] = bases_flat[
+        _expand_gather(lit_offs + head + n_script_lit, tail)
+    ]
+
+    # body: expand tokens by emit count
+    tok_read = np.repeat(np.arange(M), ntok)
+    nb = int(emit_n.sum())
+    base_tok = np.repeat(np.arange(T), emit_n)           # token id per body base
+    within = np.arange(nb, dtype=np.int64) - np.repeat(_excl_cumsum(emit_n), emit_n)
+    b_read = tok_read[base_tok]
+    b_kind = kind[base_tok]
+    tgt = out_offs[b_read] + head[b_read] + emit_before[base_tok] + within
+    is_copy = b_kind == 0
+    # consensus-sourced bases (copy runs)
+    cons_src = (
+        genome_offsets[contig_of_member[b_read]]
+        + start[b_read]
+        + consume_before[base_tok]
+        + within
+    )
+    # literal-sourced bases ('s' and 'i')
+    lit_src = lit_offs[b_read] + head[b_read] + lit_before[base_tok]
+    src = np.where(is_copy, cons_src, 0)
+    vals = np.empty(nb, dtype=np.uint8)
+    vals[is_copy] = genome_flat[src[is_copy]]
+    lit_mask = ~is_copy
+    vals[lit_mask] = bases_flat[lit_src[lit_mask]]
+    out[tgt] = vals
+
+    # reverse-complement the 'c' strand reads in place
+    c_mask = strand == 1
+    if c_mask.any():
+        c_offs = out_offs[c_mask]
+        c_lens = out_len[c_mask]
+        fwd = _expand_gather(c_offs, c_lens)
+        rev = _expand_gather(c_offs + c_lens - 1, c_lens) - 2 * (
+            np.arange(int(c_lens.sum()), dtype=np.int64)
+            - np.repeat(_excl_cumsum(c_lens), c_lens)
+        )
+        out[fwd] = _COMP[out[rev]]
+
+    return out, out_len
+
+
+def _split_lines(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Newline-separated buffer -> (flat content, line lengths)."""
+    if len(buf) == 0:
+        return buf, np.zeros(0, dtype=np.int64)
+    nl = np.flatnonzero(buf == ord("\n"))
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    lens = nl - starts
+    keep = np.ones(len(buf), dtype=bool)
+    keep[nl] = False
+    return buf[keep], lens.astype(np.int64)
+
+
+def decompress_file(
+    in_path: str,
+    out_path: str,
+    cfg: DecompressConfig | None = None,
+    report: bool = True,
+) -> dict:
+    cfg = cfg or DecompressConfig()
+    timer = StageTimer(report=report)
+
+    with timer.stage("read_archive"):
+        with cf.ThreadPoolExecutor(cfg.resolved_threads()) as pool:
+            meta, streams = archive.read_archive(in_path, pool=pool)
+
+    num_reads = meta["num_reads"]
+    reads_per_contig = np.asarray(meta["reads_per_contig"], dtype=np.int64)
+    M = int(reads_per_contig.sum())
+    num_lone = meta["num_lone"]
+
+    with timer.stage("decode_streams"):
+        all_ids = st.decode_id_stream(streams["id"]).astype(np.int64)
+        member_ids, lone_ids = all_ids[:M], all_ids[M:]
+        assert len(lone_ids) == num_lone, "id stream length mismatch"
+
+        genome_flat, genome_lens = _split_lines(streams.get("genome", np.zeros(0, np.uint8)))
+        genome_offsets = _excl_cumsum(genome_lens)
+        contig_of_member = np.repeat(np.arange(len(reads_per_contig)), reads_per_contig)
+
+        types_all, n_edits = _split_lines(streams.get("type", np.zeros(0, np.uint8)))
+        assert len(n_edits) == M, "type stream read-count mismatch"
+
+        pos_vals = st.decode_varints(streams.get("pos", np.zeros(0, np.uint8)))
+        per_read = n_edits + 4
+        p_offs = _excl_cumsum(per_read)
+        start = pos_vals[p_offs].astype(np.int64) if M else np.zeros(0, np.int64)
+        head = pos_vals[p_offs + 1].astype(np.int64) if M else np.zeros(0, np.int64)
+        tail = (
+            pos_vals[p_offs + per_read - 1].astype(np.int64) if M else np.zeros(0, np.int64)
+        )
+        run_idx = _expand_gather(p_offs + 2, n_edits + 1)
+        runs_flat = pos_vals[run_idx].astype(np.int64)
+
+        comp_flat, comp_lens = _split_lines(
+            streams.get("complement", np.zeros(0, np.uint8))
+        )
+        strand = (comp_flat == ord("c")).astype(np.uint8)
+        assert len(strand) == M, "complement stream read-count mismatch"
+
+    with timer.stage("replay"):
+        member_seq, member_lens = replay_contig_reads(
+            genome_flat, genome_offsets, contig_of_member, start, head, tail,
+            n_edits, runs_flat, types_all, streams.get("base", np.zeros(0, np.uint8)),
+            strand,
+        )
+
+    with timer.stage("reorder"):
+        lone_flat, lone_lens = _split_lines(streams.get("lone", np.zeros(0, np.uint8)))
+        # final lengths and offsets keyed by original read id
+        final_lens = np.zeros(num_reads, dtype=np.int64)
+        final_lens[member_ids] = member_lens
+        final_lens[lone_ids] = lone_lens
+        final_offs = _excl_cumsum(final_lens)
+        total = int(final_lens.sum())
+        out_buf = np.empty(total, dtype=np.uint8)
+        out_buf[_expand_gather(final_offs[member_ids], member_lens)] = member_seq
+        out_buf[_expand_gather(final_offs[lone_ids], lone_lens)] = lone_flat
+
+        # non-ACGT exception restoration (our lossless-exactness addition)
+        exc_read, exc_pos, exc_byte = st.decode_exc_stream(
+            streams.get("exc", np.zeros(0, np.uint8))
+        )
+        if len(exc_read):
+            out_buf[final_offs[exc_read] + exc_pos] = exc_byte
+
+    with timer.stage("write"):
+        with open(out_path, "wb") as f:
+            chunk = 1 << 20  # reads per write block
+            for i in range(0, num_reads, chunk):
+                lens = final_lens[i : i + chunk]
+                offs = final_offs[i : i + chunk]
+                blk = np.full(int(lens.sum()) + len(lens), ord("\n"), dtype=np.uint8)
+                boffs = _excl_cumsum(lens + 1)
+                blk[_expand_gather(boffs, lens)] = out_buf[_expand_gather(offs, lens)]
+                f.write(blk.tobytes())
+
+    return {
+        "num_reads": num_reads,
+        "total_bases": total,
+        "wall_s": timer.total(),
+        "stage_s": timer.spans,
+    }

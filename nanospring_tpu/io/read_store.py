@@ -1,0 +1,206 @@
+"""Flat-array read store: every read 2-bit packed in one buffer.
+
+The reference keeps reads either as a vector of per-read DnaBitset objects or
+as a single mutex-guarded temp file (reference: src/ReadData.cpp:110-142 and
+:156-235; the mutex at :226-235 is a known sequential bottleneck). Here the
+store is three numpy arrays — packed codes, byte offsets, lengths — so:
+
+- random access is lock-free array slicing,
+- whole batches unpack to a padded (B, Lpad) uint8 matrix for TPU kernels,
+- low-mem mode swaps the packed buffer for an np.memmap with identical code
+  paths (no separate mutex-serialized file protocol).
+
+Non-ACGT characters are recorded as (read_id, pos, byte) exception triples so
+decompression can restore arbitrary input bytes (see io/packed.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import packed as pk
+
+
+class ReadStore:
+    """Immutable collection of reads built via ReadStoreBuilder."""
+
+    def __init__(
+        self,
+        packed_buf: np.ndarray,
+        offsets: np.ndarray,      # int64, per-read start byte in packed_buf
+        lengths: np.ndarray,      # int64, per-read length in bases
+        exc_read: np.ndarray,     # int64 read ids with exceptions (sorted)
+        exc_pos: np.ndarray,      # int64 position within read
+        exc_byte: np.ndarray,     # uint8 original byte
+    ):
+        self.packed = packed_buf
+        self.offsets = offsets
+        self.lengths = lengths
+        self.exc_read = exc_read
+        self.exc_pos = exc_pos
+        self.exc_byte = exc_byte
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.lengths.shape[0])
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    @property
+    def avg_len(self) -> float:
+        return float(self.lengths.mean()) if self.num_reads else 0.0
+
+    @property
+    def max_len(self) -> int:
+        return int(self.lengths.max()) if self.num_reads else 0
+
+    def get_codes(self, rid: int) -> np.ndarray:
+        """2-bit codes (uint8 per base) of one read."""
+        off = self.offsets[rid]
+        ln = int(self.lengths[rid])
+        nbytes = (ln + 3) // 4
+        return pk.unpack_codes(np.asarray(self.packed[off : off + nbytes]), ln)
+
+    def get_seq(self, rid: int) -> str:
+        return pk.codes_to_seq(self.get_codes(rid))
+
+    def get_batch_padded(
+        self, rids: np.ndarray, pad_to: int | None = None, fill: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Unpack a batch into a (B, Lpad) uint8 code matrix + lengths.
+
+        Vectorized gather: builds one flat byte-index array for all reads at
+        once, a single fancy-index into the packed buffer, then one unpack.
+        """
+        rids = np.asarray(rids, dtype=np.int64)
+        lens = self.lengths[rids]
+        Lpad = int(pad_to if pad_to is not None else (lens.max() if len(lens) else 0))
+        B = len(rids)
+        nbytes = (Lpad + 3) // 4
+        # (B, nbytes) byte indices, clamped so out-of-range lanes read byte 0
+        byte_idx = self.offsets[rids][:, None] + np.arange(nbytes, dtype=np.int64)[None, :]
+        valid = np.arange(nbytes, dtype=np.int64)[None, :] < ((lens[:, None] + 3) // 4)
+        byte_idx = np.where(valid, byte_idx, 0)
+        packed_rows = np.asarray(self.packed)[byte_idx]  # (B, nbytes) uint8
+        codes = np.empty((B, nbytes * 4), dtype=np.uint8)
+        codes[:, 0::4] = packed_rows & 3
+        codes[:, 1::4] = (packed_rows >> 2) & 3
+        codes[:, 2::4] = (packed_rows >> 4) & 3
+        codes[:, 3::4] = (packed_rows >> 6) & 3
+        codes = codes[:, :Lpad]
+        mask = np.arange(Lpad, dtype=np.int64)[None, :] < lens[:, None]
+        codes = np.where(mask, codes, np.uint8(fill))
+        return codes, lens
+
+    def exceptions_for_read(self, rid: int) -> tuple[np.ndarray, np.ndarray]:
+        lo = np.searchsorted(self.exc_read, rid, side="left")
+        hi = np.searchsorted(self.exc_read, rid, side="right")
+        return self.exc_pos[lo:hi], self.exc_byte[lo:hi]
+
+
+class ReadStoreBuilder:
+    """Accumulates batches from the FASTQ reader into a ReadStore.
+
+    low_mem=True streams packed bytes to a temp file and memmaps it, the
+    analog of the reference's disk-backed mode (src/ReadData.cpp:156-235) but
+    without the global read mutex.
+    """
+
+    def __init__(self, low_mem: bool = False, work_dir: str = "/tmp"):
+        self.low_mem = low_mem
+        self.work_dir = work_dir
+        self._packed_parts: list[np.ndarray] = []
+        self._lengths: list[np.ndarray] = []
+        self._exc_read: list[np.ndarray] = []
+        self._exc_pos: list[np.ndarray] = []
+        self._exc_byte: list[np.ndarray] = []
+        self._num_reads = 0
+        self._file = None
+        self._file_path = None
+        self._file_bytes = 0
+        if low_mem:
+            self._file_path = os.path.join(work_dir, f"nstpu_reads_{os.getpid()}.packed")
+            self._file = open(self._file_path, "wb")
+
+    def add_batch(self, ascii_flat: np.ndarray, lengths: np.ndarray) -> None:
+        """Add a batch of reads (concatenated ASCII bytes + per-read lengths)."""
+        # exceptions (vectorized over the whole batch)
+        bad_pos, bad_byte = pk.find_exceptions(ascii_flat)
+        if len(bad_pos):
+            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts[1:])
+            owner = np.searchsorted(starts, bad_pos, side="right") - 1
+            self._exc_read.append(owner + self._num_reads)
+            self._exc_pos.append(bad_pos - starts[owner])
+            self._exc_byte.append(bad_byte)
+
+        codes = pk.encode_ascii(ascii_flat)
+        # pack each read independently (byte-aligned per read): build a
+        # scatter index mapping base -> (packed byte slot, within-byte slot)
+        nbytes_per_read = (lengths + 3) // 4
+        byte_starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(nbytes_per_read, out=byte_starts[1:])
+        total_bytes = int(byte_starts[-1])
+        base_starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=base_starts[1:])
+        # within-read base index for every base
+        read_of_base = np.repeat(np.arange(len(lengths)), lengths)
+        idx_in_read = np.arange(len(codes), dtype=np.int64) - base_starts[read_of_base]
+        tgt_byte = byte_starts[read_of_base] + (idx_in_read >> 2)
+        shift = (idx_in_read & 3).astype(np.uint8) << 1
+        packed = np.zeros(total_bytes, dtype=np.uint8)
+        np.bitwise_or.at(packed, tgt_byte, codes << shift)
+
+        if self.low_mem:
+            self._file.write(packed.tobytes())
+            self._file_bytes += total_bytes
+        else:
+            self._packed_parts.append(packed)
+        self._lengths.append(lengths.astype(np.int64))
+        self._num_reads += len(lengths)
+
+    def finish(self) -> ReadStore:
+        lengths = (
+            np.concatenate(self._lengths) if self._lengths else np.zeros(0, dtype=np.int64)
+        )
+        nbytes_per_read = (lengths + 3) // 4
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        if len(lengths):
+            np.cumsum(nbytes_per_read[:-1], out=offsets[1:])
+        if self.low_mem:
+            self._file.close()
+            buf = np.memmap(self._file_path, dtype=np.uint8, mode="r")
+        else:
+            buf = (
+                np.concatenate(self._packed_parts)
+                if self._packed_parts
+                else np.zeros(0, dtype=np.uint8)
+            )
+        if self._exc_read:
+            exc_read = np.concatenate(self._exc_read)
+            exc_pos = np.concatenate(self._exc_pos)
+            exc_byte = np.concatenate(self._exc_byte)
+            order = np.argsort(exc_read, kind="stable")
+            exc_read, exc_pos, exc_byte = exc_read[order], exc_pos[order], exc_byte[order]
+        else:
+            exc_read = np.zeros(0, dtype=np.int64)
+            exc_pos = np.zeros(0, dtype=np.int64)
+            exc_byte = np.zeros(0, dtype=np.uint8)
+        return ReadStore(buf, offsets, lengths, exc_read, exc_pos, exc_byte)
+
+    def cleanup(self) -> None:
+        if self._file_path and os.path.exists(self._file_path):
+            os.unlink(self._file_path)
+
+
+def load_fastq(path: str, low_mem: bool = False, work_dir: str = "/tmp") -> ReadStore:
+    from . import fastq
+
+    b = ReadStoreBuilder(low_mem=low_mem, work_dir=work_dir)
+    for flat, lengths in fastq.iter_sequence_batches(path):
+        b.add_batch(flat, lengths)
+    return b.finish()

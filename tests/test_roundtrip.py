@@ -1,0 +1,88 @@
+"""The top-level oracle: compress -> decompress -> byte-identical sequences.
+
+The reference's equivalent is util/test_script.sh (compress the test FASTQ,
+decompress, cmp against `zcat | sed -n '2~4p'`).
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from nanospring_tpu.compressor import compress_file
+from nanospring_tpu.config import CompressConfig, DecompressConfig
+from nanospring_tpu.decompressor import decompress_file
+from nanospring_tpu.utils import synth
+
+
+def _roundtrip(tmp_path, reads, cfg=None, dcfg=None):
+    fq = str(tmp_path / "in.fastq")
+    synth.write_fastq(fq, reads, gz=False)
+    arc = str(tmp_path / "out.nstpu")
+    out = str(tmp_path / "out.reads")
+    res = compress_file(fq, arc, cfg or CompressConfig(), report=False)
+    decompress_file(arc, out, dcfg or DecompressConfig(), report=False)
+    with open(out, "rb") as f:
+        got = f.read().split(b"\n")[:-1]
+    assert len(got) == len(reads), f"read count {len(got)} != {len(reads)}"
+    for i, (a, b) in enumerate(zip(reads, got)):
+        assert a == b, f"read {i} differs: {a[:50]}... vs {b[:50]}..."
+    return res
+
+
+@pytest.fixture
+def lone_cfg():
+    return CompressConfig(disable_assembly=True)
+
+
+def test_roundtrip_lone_only(tmp_path, lone_cfg):
+    rng = np.random.default_rng(7)
+    genome = synth.random_genome(20_000, rng)
+    reads = synth.make_reads(genome, 50, 2_000, rng)
+    _roundtrip(tmp_path, reads, cfg=lone_cfg)
+
+
+def test_roundtrip_lone_with_n_bases(tmp_path, lone_cfg):
+    rng = np.random.default_rng(8)
+    genome = synth.random_genome(10_000, rng)
+    reads = synth.make_reads(genome, 30, 1_000, rng, p_n_base=0.01)
+    _roundtrip(tmp_path, reads, cfg=lone_cfg)
+
+
+def test_roundtrip_gzip_input(tmp_path, lone_cfg):
+    rng = np.random.default_rng(9)
+    genome = synth.random_genome(5_000, rng)
+    reads = synth.make_reads(genome, 20, 800, rng)
+    fq = str(tmp_path / "in.fastq.gz")
+    synth.write_fastq(fq, reads)
+    arc = str(tmp_path / "o.nstpu")
+    out = str(tmp_path / "o.reads")
+    compress_file(fq, arc, lone_cfg, report=False)
+    decompress_file(arc, out, report=False)
+    with open(out, "rb") as f:
+        got = f.read().split(b"\n")[:-1]
+    assert got == reads
+
+
+def test_roundtrip_empty_and_tiny(tmp_path, lone_cfg):
+    # tiny reads below every k-mer threshold must still round-trip
+    reads = [b"A", b"ACGT", b"G" * 31, b"T" * 33]
+    _roundtrip(tmp_path, reads, cfg=lone_cfg)
+
+
+def test_roundtrip_full_pipeline(tmp_path):
+    pytest.importorskip("nanospring_tpu.pipeline.contigs")
+    rng = np.random.default_rng(11)
+    genome = synth.random_genome(50_000, rng)
+    reads = synth.make_reads(genome, 100, 4_000, rng)
+    res = _roundtrip(tmp_path, reads, cfg=CompressConfig())
+    assert res["ratio"] > 0
+
+
+def test_low_mem_store(tmp_path):
+    rng = np.random.default_rng(12)
+    genome = synth.random_genome(10_000, rng)
+    reads = synth.make_reads(genome, 30, 1_000, rng)
+    cfg = CompressConfig(disable_assembly=True, low_mem=True, work_dir=str(tmp_path))
+    _roundtrip(tmp_path, reads, cfg=cfg)
