@@ -1,0 +1,150 @@
+"""Batched MinHash sketching — the TPU kernel replacing MinHashReadFilter.
+
+Reference semantics (src/ReadFilter.cpp): per read, extract all k-mers
+(k=23), apply n=60 hash functions (std::hash of kmer ^ random seed,
+:133-136), keep the per-function minimum (string2Sketch :117-131). The
+reference sketches the forward strand and queries forward + reverse
+complement separately (src/Consensus.cpp:180-191).
+
+TPU-first differences:
+- **Canonical k-mers**: each k-mer is min(kmer, revcomp-kmer) before
+  hashing, so one sketch is strand-invariant; orientation is decided later
+  by the aligner. Halves query work and doubles join sensitivity.
+- k-mers live as (hi, lo) uint32 pairs (46 bits for k=23) — JAX default has
+  no uint64; two-lane arithmetic keeps everything in native VPU dtypes.
+- Hashing = murmur3-style finalizer over (lo ^ seed_lo, hi ^ seed_hi);
+  seeds are deterministic from the config seed (the reference draws from
+  std::random_device per run, src/ReadFilter.cpp:49-63 — non-reproducible).
+- The whole batch is one jit: k-mer build is an unrolled k-step shift/or
+  (static k), the 60 hash minima run under lax.scan with a (B, P) working
+  set, so memory stays O(B*L), not O(B*L*n).
+
+Shapes are static per (batch, padded-length) bucket; callers bucket reads
+by length (io/read_store.get_batch_padded).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EMPTY_SLOT = np.uint32(0xFFFFFFFF)  # sketch value for invalid/short reads
+
+
+def make_seeds(num_hashes: int, seed: int) -> np.ndarray:
+    """(n, 2) uint32 deterministic hash seeds."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 2**32, size=(num_hashes, 2), dtype=np.uint32)
+
+
+def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer (public-domain mixing constants)."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _build_canonical_kmers(codes: jnp.ndarray, k: int):
+    """(B, L) uint8 codes -> canonical k-mer (hi, lo) uint32 pairs, (B, P).
+
+    kmer value = sum_j base[i+j] * 4^(k-1-j)  (forward polynomial)
+    rc value   = sum_j (3-base[i+j]) * 4^j    (reverse complement)
+    lo = low 16 base positions (32 bits), hi = remaining k-16 positions.
+    """
+    B, L = codes.shape
+    P = L - k + 1
+    c = codes.astype(jnp.uint32)
+    lo = jnp.zeros((B, P), dtype=jnp.uint32)
+    hi = jnp.zeros((B, P), dtype=jnp.uint32)
+    rlo = jnp.zeros((B, P), dtype=jnp.uint32)
+    rhi = jnp.zeros((B, P), dtype=jnp.uint32)
+    for j in range(k):
+        b = jax.lax.dynamic_slice_in_dim(c, j, P, axis=1)
+        rb = jnp.uint32(3) - b
+        # forward: digit weight 4^(k-1-j)
+        w = k - 1 - j
+        if w < 16:
+            lo = lo | (b << jnp.uint32(2 * w))
+        else:
+            hi = hi | (b << jnp.uint32(2 * (w - 16)))
+        # reverse complement: digit weight 4^j
+        if j < 16:
+            rlo = rlo | (rb << jnp.uint32(2 * j))
+        else:
+            rhi = rhi | (rb << jnp.uint32(2 * (j - 16)))
+    take_fwd = (hi < rhi) | ((hi == rhi) & (lo <= rlo))
+    canon_lo = jnp.where(take_fwd, lo, rlo)
+    canon_hi = jnp.where(take_fwd, hi, rhi)
+    return canon_hi, canon_lo
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def sketch_batch(
+    codes: jnp.ndarray,    # (B, L) uint8 2-bit codes, zero-padded
+    lengths: jnp.ndarray,  # (B,) int32/int64
+    seeds: jnp.ndarray,    # (n, 2) uint32
+    k: int,
+) -> jnp.ndarray:
+    """Returns (B, n) uint32 MinHash sketches; EMPTY_SLOT where len < k."""
+    B, L = codes.shape
+    P = L - k + 1
+    canon_hi, canon_lo = _build_canonical_kmers(codes, k)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    valid = pos <= (lengths.astype(jnp.int32)[:, None] - k)
+
+    def one_hash(carry, seed_pair):
+        s_lo, s_hi = seed_pair[0], seed_pair[1]
+        h = _fmix32(canon_lo ^ s_lo)
+        h = _fmix32(h ^ canon_hi ^ s_hi)
+        h = jnp.where(valid, h, jnp.uint32(EMPTY_SLOT))
+        return carry, jnp.min(h, axis=1)
+
+    _, mins = jax.lax.scan(one_hash, None, seeds)
+    return mins.T  # (B, n)
+
+
+def sketch_batch_np(
+    codes: np.ndarray, lengths: np.ndarray, seeds: np.ndarray, k: int
+) -> np.ndarray:
+    """Pure-numpy reference implementation (uint64 k-mers) for testing."""
+    B, L = codes.shape
+    out = np.full((B, len(seeds)), EMPTY_SLOT, dtype=np.uint32)
+    for b in range(B):
+        n = int(lengths[b])
+        if n < k:
+            continue
+        best = np.full(len(seeds), EMPTY_SLOT, dtype=np.uint32)
+        for i in range(n - k + 1):
+            kmer = codes[b, i : i + k].astype(np.uint64)
+            fwd = 0
+            rc = 0
+            for j in range(k):
+                fwd = (fwd << 2) | int(kmer[j])
+                rc |= (3 - int(kmer[j])) << (2 * j)
+            v = min(fwd, rc)
+            lo = np.uint32(v & 0xFFFFFFFF)
+            hi = np.uint32(v >> 32)
+            for si, (s_lo, s_hi) in enumerate(seeds):
+                h = _fmix32_np(np.uint32(lo) ^ s_lo)
+                h = _fmix32_np(h ^ hi ^ s_hi)
+                if h < best[si]:
+                    best[si] = h
+        out[b] = best
+    return out
+
+
+def _fmix32_np(h: np.uint32) -> np.uint32:
+    h = np.uint32(h)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint32(16)
+        h = np.uint32(h * np.uint32(0x85EBCA6B))
+        h ^= h >> np.uint32(13)
+        h = np.uint32(h * np.uint32(0xC2B2AE35))
+        h ^= h >> np.uint32(16)
+    return h

@@ -1,11 +1,19 @@
 """Test environment: force an 8-device virtual CPU mesh so sharding tests run
-anywhere (the driver separately dry-runs the multi-chip path the same way)."""
+anywhere (the driver separately dry-runs the multi-chip path the same way).
+
+Note: this machine's sitecustomize registers an 'axon' TPU PJRT plugin at
+interpreter start and programmatically sets jax_platforms, so the env var
+alone is not enough — we must override via jax.config after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
