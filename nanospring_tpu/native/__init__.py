@@ -1,0 +1,67 @@
+"""Native (C++) components, built on demand with g++ and loaded via ctypes.
+
+The reference vendors minimap2/libbsc/fast-lzma2 as C/C++ (SURVEY.md §2.3);
+our native layer is from-scratch C++ for the same host-side roles. Build is
+a single g++ invocation (no cmake needed for one TU); the .so is cached next
+to the sources and rebuilt when any source is newer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+
+_SOURCES = ["align.cpp"]
+_SO_NAME = "libnstpu.so"
+
+
+def _needs_build(so_path: str) -> bool:
+    if not os.path.exists(so_path):
+        return True
+    so_mtime = os.path.getmtime(so_path)
+    return any(
+        os.path.getmtime(os.path.join(_DIR, s)) > so_mtime for s in _SOURCES
+    )
+
+
+def build(verbose: bool = False) -> str:
+    so_path = os.path.join(_DIR, _SO_NAME)
+    if _needs_build(so_path):
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-fopenmp", "-o", so_path,
+        ] + [os.path.join(_DIR, s) for s in _SOURCES]
+        if verbose:
+            print("[nstpu] building native lib:", " ".join(cmd))
+        subprocess.run(cmd, check=True, capture_output=not verbose)
+    return so_path
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(build())
+            i64 = ctypes.c_int64
+            i32 = ctypes.c_int32
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.ns_banded_align.restype = i32
+            lib.ns_banded_align.argtypes = [
+                u8p, i64, u8p, i64, i64, i32, i32,
+                u8p, i64, i64p, i64p, i64p,
+            ]
+            lib.ns_banded_align_batch.restype = None
+            lib.ns_banded_align_batch.argtypes = [
+                u8p, i64p, i64p, u8p, i64p, i64p, i64p, i32, i32, i64,
+                u8p, i64p, i64, i64p, i64p, i64p, i32p,
+            ]
+            _LIB = lib
+    return _LIB

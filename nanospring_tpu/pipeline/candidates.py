@@ -1,0 +1,81 @@
+"""Overlap-candidate index: sort-join over sketch values.
+
+Replaces the reference's 60 BooPHF minimal-perfect-hash tables + CSR read-id
+buckets (reference: src/BBHashMap.cpp:10-120, include/BooPHF.h). A sorted
+(value -> read ids) array per hash slot gives the same query semantics
+(collect reads matching any slot, keep those with >= threshold matching
+slots, src/ReadFilter.cpp:65-97) with:
+
+- vectorized batch queries (np.searchsorted over whole window batches),
+- a per-bucket size cap standing in for the repetitive-k-mer blowup the
+  reference controls via its repetitive-read screen,
+- a layout that shards naturally: sort-join is also the multi-host story
+  (each host owns a hash-space range; see parallel/sharded_join.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.sketch import EMPTY_SLOT
+
+
+class SketchIndex:
+    def __init__(self, sketches: np.ndarray, max_bucket: int = 256):
+        """sketches: (N, n) uint32; EMPTY_SLOT rows (short reads) never match."""
+        N, n = sketches.shape
+        self.num_reads = N
+        self.num_slots = n
+        self.max_bucket = max_bucket
+        self.sorted_vals = np.empty((n, N), dtype=np.uint32)
+        self.sorted_ids = np.empty((n, N), dtype=np.uint32)
+        for j in range(n):
+            order = np.argsort(sketches[:, j], kind="stable")
+            self.sorted_vals[j] = sketches[order, j]
+            self.sorted_ids[j] = order
+
+    def query(
+        self,
+        qsketches: np.ndarray,   # (Q, n) uint32
+        threshold: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (query_idx, read_id, slot_hits) for pairs with
+        slot_hits >= threshold. A query slot equal to EMPTY_SLOT is skipped.
+        Buckets larger than max_bucket are skipped (repetitive k-mers).
+        """
+        Q, n = qsketches.shape
+        assert n == self.num_slots
+        cand_q: list[np.ndarray] = []
+        cand_r: list[np.ndarray] = []
+        for j in range(n):
+            vals = qsketches[:, j]
+            lo = np.searchsorted(self.sorted_vals[j], vals, side="left")
+            hi = np.searchsorted(self.sorted_vals[j], vals, side="right")
+            sizes = hi - lo
+            sizes[vals == EMPTY_SLOT] = 0
+            sizes[sizes > self.max_bucket] = 0
+            total = int(sizes.sum())
+            if total == 0:
+                continue
+            csum = np.zeros(len(sizes), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=csum[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum, sizes)
+            idx = np.repeat(lo, sizes) + within
+            cand_r.append(self.sorted_ids[j][idx])
+            cand_q.append(np.repeat(np.arange(Q, dtype=np.int64), sizes))
+        if not cand_q:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        q = np.concatenate(cand_q)
+        r = np.concatenate(cand_r).astype(np.int64)
+        key = q * np.int64(self.num_reads) + r
+        key.sort()
+        # run-length encode sorted keys
+        boundary = np.empty(len(key), dtype=bool)
+        boundary[0] = True
+        np.not_equal(key[1:], key[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(starts, len(key)))
+        keep = counts >= threshold
+        uk = key[starts[keep]]
+        return uk // self.num_reads, uk % self.num_reads, counts[keep]
