@@ -24,7 +24,8 @@ import lzma
 import struct
 import zlib
 
-_CHUNK = 48 << 20  # 48 MB blocks, like the reference's bsc usage
+_CHUNK = 16 << 20  # block-chunked like the reference's 48 MB bsc blocks;
+                   # 16 MB so thread pools parallelize medium streams too
 
 _LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
 

@@ -27,6 +27,7 @@ class CompressConfig:
     max_chain_iter: int = 400          # chaining iteration cap analog
     band_width: int = 128              # banded-DP half-width for extension
     max_edit_frac: float = 0.5         # reject alignment if edits/len above this
+    min_overlap: int = 150             # min overlapping bases to accept a member
 
     # --- contig building (reference: src/Consensus.cpp) ---
     edge_threshold: int = 4_000_000    # --edge-thr analog: cap on contig work

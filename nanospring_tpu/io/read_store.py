@@ -139,21 +139,24 @@ class ReadStoreBuilder:
             self._exc_byte.append(bad_byte)
 
         codes = pk.encode_ascii(ascii_flat)
-        # pack each read independently (byte-aligned per read): build a
-        # scatter index mapping base -> (packed byte slot, within-byte slot)
+        # pack each read independently (byte-aligned per read): scatter codes
+        # into a zero-padded buffer where every read starts at a multiple of
+        # 4 bases, then pack 4 lanes with shifts (no slow unbuffered ufuncs).
         nbytes_per_read = (lengths + 3) // 4
         byte_starts = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(nbytes_per_read, out=byte_starts[1:])
         total_bytes = int(byte_starts[-1])
         base_starts = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=base_starts[1:])
-        # within-read base index for every base
         read_of_base = np.repeat(np.arange(len(lengths)), lengths)
         idx_in_read = np.arange(len(codes), dtype=np.int64) - base_starts[read_of_base]
-        tgt_byte = byte_starts[read_of_base] + (idx_in_read >> 2)
-        shift = (idx_in_read & 3).astype(np.uint8) << 1
-        packed = np.zeros(total_bytes, dtype=np.uint8)
-        np.bitwise_or.at(packed, tgt_byte, codes << shift)
+        padded = np.zeros(total_bytes * 4, dtype=np.uint8)
+        padded[byte_starts[read_of_base] * 4 + idx_in_read] = codes
+        quads = padded.reshape(-1, 4)
+        packed = (
+            quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4)
+            | (quads[:, 3] << 6)
+        ).astype(np.uint8)
 
         if self.low_mem:
             self._file.write(packed.tobytes())

@@ -1,0 +1,118 @@
+"""Minimizer extraction + anchor matching — the seeding stage.
+
+From-scratch equivalent of minimap2's mm_sketch minimizers
+(reference: minimap2/sketch.c:77-143) and the chaining stage's job of
+producing a mapping diagonal (minimap2/chain.c) — but instead of an O(A^2)
+chain DP we use diagonal voting over matched minimizers (the banded aligner
+absorbs residual drift), which is branch-free and batchable.
+
+Host-side numpy implementation (uint64 available here; the TPU variant of
+dense k-mer hashing lives in ops/sketch.py). Canonical k-mers make anchors
+strand-invariant; each anchor carries a flag saying whether the forward
+orientation won, so relative strand falls out of matched flags.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def dense_kmer_hashes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All canonical k-mer hashes of one sequence.
+
+    Returns (hashes uint64 (P,), fwd_is_canonical bool (P,)); P = L-k+1.
+    """
+    L = len(codes)
+    P = L - k + 1
+    if P <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    c = codes.astype(np.uint64)
+    fwd = np.zeros(P, dtype=np.uint64)
+    rc = np.zeros(P, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            fwd |= c[j : j + P] << np.uint64(2 * (k - 1 - j))
+            rc |= (np.uint64(3) - c[j : j + P]) << np.uint64(2 * j)
+    take_fwd = fwd <= rc
+    canon = np.where(take_fwd, fwd, rc)
+    return _mix64(canon), take_fwd
+
+
+def minimizers(
+    codes: np.ndarray, k: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes uint64, positions int64, fwd_flags bool) of (w,k)-minimizers."""
+    h, fwdflag = dense_kmer_hashes(codes, k)
+    P = len(h)
+    if P == 0:
+        return h, np.zeros(0, dtype=np.int64), fwdflag
+    if P <= w:
+        p = np.array([int(np.argmin(h))], dtype=np.int64)
+        return h[p], p, fwdflag[p]
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    pos = win.argmin(axis=1) + np.arange(P - w + 1)
+    pos = np.unique(pos)  # dedupe consecutive windows picking the same k-mer
+    return h[pos], pos.astype(np.int64), fwdflag[pos]
+
+
+def match_anchors(
+    h_a: np.ndarray, pos_a: np.ndarray, fwd_a: np.ndarray,
+    h_b: np.ndarray, pos_b: np.ndarray, fwd_b: np.ndarray,
+    len_b: int, k: int,
+    max_anchors: int = 400,
+) -> tuple[bool, int, int] | None:
+    """Estimate relative placement of sequence b against sequence a.
+
+    Returns (b_is_reverse, diagonal, votes) where diagonal d0 satisfies
+    pos_in_a ~= d0 + pos_in_oriented_b, or None if no anchors matched.
+    Diagonal voting: majority strand first, then median diagonal.
+    """
+    # unique-ify (intersect semantics); first occurrence wins
+    ua, ia = np.unique(h_a, return_index=True)
+    ub, ib = np.unique(h_b, return_index=True)
+    common, ca, cb = np.intersect1d(ua, ub, assume_unique=True, return_indices=True)
+    if len(common) == 0:
+        return None
+    if len(common) > max_anchors:
+        sel = np.linspace(0, len(common) - 1, max_anchors).astype(np.int64)
+        ca, cb = ca[sel], cb[sel]
+    pa = pos_a[ia[ca]]
+    pb = pos_b[ib[cb]]
+    rel_rc = fwd_a[ia[ca]] != fwd_b[ib[cb]]
+    n_rc = int(rel_rc.sum())
+    is_rc = n_rc * 2 > len(rel_rc)
+    if is_rc:
+        m = rel_rc
+        diag = pa[m] - (len_b - k - pb[m])
+    else:
+        m = ~rel_rc
+        diag = pa[m] - pb[m]
+    votes = int(m.sum())
+    if votes == 0:
+        return None
+    return is_rc, int(np.median(diag)), votes
+
+
+def qpos_to_tpos_map(ops: np.ndarray, tstart: int, q_len: int) -> np.ndarray:
+    """Map query positions -> target positions through an alignment's ops.
+
+    For query positions consumed by '='/'s', the exact target position; for
+    'i' positions, the current target cursor. Vectorized.
+    """
+    consumes_t = (ops == ord("=")) | (ops == ord("s")) | (ops == ord("d"))
+    consumes_q = (ops == ord("=")) | (ops == ord("s")) | (ops == ord("i"))
+    tpos = tstart + np.cumsum(consumes_t) - consumes_t  # t cursor before op
+    out = np.zeros(q_len, dtype=np.int64)
+    qi = np.cumsum(consumes_q) - consumes_q             # q index of op
+    sel = consumes_q
+    out[qi[sel]] = tpos[sel]
+    return out

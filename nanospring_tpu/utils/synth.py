@@ -1,8 +1,13 @@
 """Synthetic nanopore-like data generation — the AlignerTester analog.
 
 The reference's AlignerTester (src/AlignerTester.cpp:8-216) generates
-overlapping read pairs with a parameterized ins/del/sub error model (defaults
-3%/3%/4%, include/AlignerTester.h:21-22) to validate and profile aligners.
+overlapping read pairs with a parameterized ins/del/sub error model (its
+defaults 3%/3%/4% are for aligner stress tests, include/AlignerTester.h:21-22).
+Our defaults model recent-basecaller nanopore (~2.5% total error), the domain
+the reference's own benchmarks target (README.md:5, "recent basecallers");
+at 10% error the k=23 sketch join mathematically stops finding overlaps
+(0.9^23 ~= 0.09 per side), which is why the reference's old-basecaller hs1
+ratio collapses (logs/2022/hs1.log: 5.44x vs 11.97x for hs2).
 Here the generator is vectorized numpy and also produces whole FASTQ datasets
 (random genome -> error-mutated reads) for round-trip tests and benchmarks.
 """
@@ -24,9 +29,9 @@ def random_genome(length: int, rng: np.random.Generator) -> np.ndarray:
 def mutate(
     seq: np.ndarray,
     rng: np.random.Generator,
-    p_ins: float = 0.03,
-    p_del: float = 0.03,
-    p_sub: float = 0.04,
+    p_ins: float = 0.008,
+    p_del: float = 0.008,
+    p_sub: float = 0.009,
 ) -> np.ndarray:
     """Apply iid ins/del/sub errors to an ASCII sequence (vectorized)."""
     n = len(seq)
@@ -64,9 +69,9 @@ def make_reads(
     num_reads: int,
     mean_len: int,
     rng: np.random.Generator,
-    p_ins: float = 0.03,
-    p_del: float = 0.03,
-    p_sub: float = 0.04,
+    p_ins: float = 0.008,
+    p_del: float = 0.008,
+    p_sub: float = 0.009,
     p_revcomp: float = 0.5,
     p_n_base: float = 0.0,
 ) -> list[bytes]:
