@@ -1,0 +1,90 @@
+"""Headline benchmark: end-to-end lossless compression throughput.
+
+Generates a deterministic synthetic nanopore-like dataset (recent-basecaller
+error profile, ~2.5% — the regime the reference targets, README.md:5),
+compresses it with the full sketch/align/consensus pipeline on the attached
+accelerator, decompresses, verifies byte-identity, and prints ONE JSON line:
+
+  {"metric": "compress_throughput", "value": <Mbases/s>, "unit": "Mbases/s",
+   "vs_baseline": <value / 7.2>}
+
+Baseline: the reference's 20-thread CPU compression throughput on hs2,
+3,436,528 reads / 11,756 s * 24,492 b = 7.2 Mbases/s (BASELINE.md, derived
+from /root/reference/logs/2022/hs2.log).
+
+Ratio sanity is enforced, not just reported: the run aborts (exit 1) if the
+round trip is not byte-identical, and the JSON carries the achieved ratio so
+throughput can't silently be bought with ratio loss.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+BASELINE_MBASES_S = 7.2
+
+# Sized to finish in a few minutes single-chip while being large enough to
+# amortize compile + tunnel latency; ~30x coverage like a real nanopore run.
+GENOME_LEN = int(os.environ.get("NSTPU_BENCH_GENOME", 2_000_000))
+NUM_READS = int(os.environ.get("NSTPU_BENCH_READS", 12_000))
+MEAN_LEN = int(os.environ.get("NSTPU_BENCH_MEANLEN", 5_000))
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nanospring_tpu import compressor, decompressor
+    from nanospring_tpu.utils import synth
+
+    work = tempfile.mkdtemp(prefix="nstpu_bench_")
+    fq = os.path.join(work, "bench.fastq")
+    reads = synth.make_dataset(
+        fq,
+        genome_len=GENOME_LEN,
+        num_reads=NUM_READS,
+        mean_len=MEAN_LEN,
+        seed=1234,
+        p_n_base=0.0005,
+    )
+    total_bases = sum(len(r) for r in reads)
+
+    arc = os.path.join(work, "bench.nstpu")
+    t0 = time.time()
+    res = compressor.compress_file(fq, arc, report=False)
+    compress_s = time.time() - t0
+
+    out = os.path.join(work, "bench.reads")
+    t1 = time.time()
+    decompressor.decompress_file(arc, out, report=False)
+    decompress_s = time.time() - t1
+
+    with open(out, "rb") as f:
+        got = f.read().splitlines()
+    ok = len(got) == len(reads) and all(a == b for a, b in zip(got, reads))
+    if not ok:
+        print(json.dumps({"metric": "compress_throughput", "value": 0.0,
+                          "unit": "Mbases/s", "vs_baseline": 0.0,
+                          "error": "round-trip mismatch"}))
+        return 1
+
+    mbases_s = total_bases / compress_s / 1e6
+    print(json.dumps({
+        "metric": "compress_throughput",
+        "value": round(mbases_s, 3),
+        "unit": "Mbases/s",
+        "vs_baseline": round(mbases_s / BASELINE_MBASES_S, 4),
+        "ratio": round(res["ratio"], 2),
+        "bits_per_base": round(8.0 / res["ratio"], 3),
+        "total_bases": total_bases,
+        "compress_s": round(compress_s, 1),
+        "decompress_s": round(decompress_s, 1),
+        "lossless": True,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
