@@ -51,6 +51,13 @@ def main() -> int:
     )
     total_bases = sum(len(r) for r in reads)
 
+    # Untimed warmup: the first host materialization in a process can stall
+    # for minutes behind the accelerator-claim handshake; absorb it here so
+    # the timed section measures the pipeline, not the tunnel setup.
+    import jax
+    import numpy as np
+    np.asarray(jax.jit(lambda x: x + 1)(np.ones(8, np.float32)))
+
     arc = os.path.join(work, "bench.nstpu")
     t0 = time.time()
     res = compressor.compress_file(fq, arc, report=False)

@@ -153,6 +153,9 @@ void ns_banded_align_batch(
     uint8_t* ops_flat, const int64_t* ops_off, int64_t ops_cap_each,
     int64_t* ops_len, int64_t* tstart, int64_t* tend, int32_t* cost)
 {
+    // Scratch is thread_local, so pairs parallelize cleanly. Dynamic
+    // schedule: pair cost varies with query length and early aborts.
+    #pragma omp parallel for schedule(dynamic, 4)
     for (int64_t p = 0; p < npairs; ++p) {
         int64_t m = q_len[p];
         int32_t max_cost = (int32_t)((m * (int64_t)max_cost_per_kb) / 1000 + 8);

@@ -1,4 +1,4 @@
-"""Contig building: sketch-join clustering + mosaic consensus growth.
+"""Contig building: sketch-join clustering + wavefront-batched consensus growth.
 
 The reference grows one pointer-DAG contig per OpenMP thread, sliding a
 window over the consensus and re-indexing it with minimap2 for every
@@ -9,22 +9,28 @@ This engine is restructured around batch stages and owner-computes claims:
 2. **Join**: one batched index query finds all overlap-candidate pairs
    (reads sharing >= threshold sketch slots) up front — no per-window
    re-queries.
-3. **Cluster + place**: BFS over the pair graph from each unclaimed seed.
-   Each accepted member is anchored against its BFS parent's minimizers
-   (whose positions are already mapped to consensus coordinates), then
-   verified with one banded alignment against the consensus — no index
-   is ever rebuilt (the reference rebuilds one per candidate,
-   src/ConsensusGraph.cpp:195-217: its #1 structural inefficiency).
-4. **Extend**: alignments that run off the consensus ends splice their
-   overhang into the consensus (mosaic growth, both directions).
+3. **Wavefront growth**: many contigs are grown concurrently. Each step
+   drains a cross-contig frontier of (contig, candidate, parent) items:
+   host-side anchoring places each candidate on its contig's consensus
+   (minimizer match against the BFS parent, whose minimizer positions are
+   already mapped to consensus coordinates), then ONE batched banded
+   alignment verifies the whole frontier — the batch axis is what the
+   accelerator consumes. No index is ever rebuilt (the reference rebuilds
+   one per candidate, src/ConsensusGraph.cpp:195-217: its #1 structural
+   inefficiency).
+4. **Apply**: accepted alignments splice their overhangs into the consensus
+   (mosaic growth, both directions). Consensus coordinates are absolute
+   (head growth moves ``lo`` negative), so results computed against a
+   snapshot stay valid after other batch members splice; a result whose
+   clipped overhang could now match newly-grown consensus is retried
+   instead, to protect ratio.
 
-Per-contig work is sequential (as in the reference — that's inherent), and
-contigs are independent: the parallel axis for threads/hosts/chips.
+Per-batch work is data-parallel over pairs (C++/OpenMP now, Pallas batch
+axis on TPU); contigs are independent: the parallel axis for hosts/chips.
 """
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 
 import numpy as np
@@ -78,15 +84,28 @@ def _orient_codes(codes: np.ndarray, strand: int) -> np.ndarray:
     return pk.revcomp_codes(codes) if strand else codes
 
 
+def _mirror_anchors(h, p, f, read_len: int, k: int):
+    """Minimizer set of the reverse complement, derived for free.
+
+    Canonical k-mer hashes are strand-invariant, positions mirror to
+    read_len - k - pos, and the forward-is-canonical flag flips.
+    """
+    return h, (read_len - k) - p, ~f
+
+
 class _ContigState:
     """Mutable consensus + placed-member anchor tables for one contig."""
 
-    def __init__(self, seed_rid: int, seed_codes: np.ndarray, cfg: CompressConfig):
+    def __init__(self, cid: int, seed_rid: int, seed_codes: np.ndarray,
+                 cfg: CompressConfig):
+        self.cid = cid
         self.cfg = cfg
         self.cons = seed_codes.copy()
         self.lo = 0  # consensus coords of cons[0]
         self.members: list[_Member] = []
         self.total_aligned = 0
+        self.pending = 0       # frontier items referencing this contig
+        self.closed = False    # edge_threshold reached: stop growing
         # parent anchor tables: rid -> (hash, tpos, fwdflag)
         self.anchors: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
@@ -101,85 +120,51 @@ class _ContigState:
         self.anchors[rid] = (h, p.astype(np.int64), f)
         self.total_aligned += len(codes)
 
-    def try_add(self, rid: int, parent_rid: int, codes_fwd: np.ndarray,
-                stats: FunnelStats) -> bool:
-        """Anchor against parent, banded-align against consensus, splice."""
-        cfg = self.cfg
-        pa_h, pa_t, pa_f = self.anchors[parent_rid]
-        r_h, r_p, r_f = mz.minimizers(codes_fwd, cfg.seed_kmer_size, cfg.seed_window)
-        if len(r_h) == 0:
-            return False
-        m = mz.match_anchors(
-            pa_h, pa_t, pa_f, r_h, r_p, r_f, len(codes_fwd), cfg.seed_kmer_size,
-            max_anchors=cfg.max_chain_iter,
-        )
-        if m is None:
-            return False
-        is_rc, d0, votes = m
-        codes = _orient_codes(codes_fwd, int(is_rc))
-        # d0 is in consensus coords (parent anchor positions are); convert to
-        # array coords for the aligner.
-        d0_arr = d0 - self.lo
-        n, mlen = len(self.cons), len(codes)
-        band = cfg.band_width
-        # clip the query to the predicted overlap window: overhangs past the
-        # consensus ends would walk out of the band as insertion runs, so
-        # align only [qlo, qhi) and re-attach the clipped ends as head/tail
-        # insertions (which the splice below converts to consensus growth).
-        qlo = max(0, -d0_arr - band // 2)
-        qhi = min(mlen, n - d0_arr + band // 2)
-        if qhi - qlo < cfg.min_overlap:
-            return False
-        res = al.banded_align_batch(
-            self.cons, np.zeros(1, np.int64), np.array([n], np.int64),
-            codes[qlo:qhi], np.zeros(1, np.int64), np.array([qhi - qlo], np.int64),
-            np.array([d0_arr + qlo], np.int64), band=band,
-            max_cost_per_kb=int(cfg.max_edit_frac * 1000),
-        )
-        if res.cost[0] < 0:
-            return False
-        stats.aligned_ok += 1
-        core_ops = res.ops_flat[: res.ops_len[0]]
-        ops = np.concatenate([
-            np.full(qlo, ord("i"), dtype=np.uint8),
-            core_ops,
-            np.full(mlen - qhi, ord("i"), dtype=np.uint8),
-        ])
-        tstart_arr = int(res.tstart[0])
-        tend_arr = int(res.tend[0])
+    def accept(self, rid: int, is_rc: int, tstart_abs: int, tend_abs: int,
+               ops: np.ndarray, cost: int, codes: np.ndarray,
+               fwd_anchors) -> None:
+        """Record an accepted alignment; splice overhangs into the consensus.
 
-        # splice overhangs into the consensus (mosaic growth)
+        ``ops`` may begin/end with 'i' runs (clipped overhangs). If an 'i'
+        run touches the consensus end it becomes consensus growth (the run
+        flips to '='); otherwise it stays an insertion run — lossless either
+        way, growth is just better for ratio.
+        """
+        cfg = self.cfg
+        mlen = len(codes)
         head = 0
         while head < len(ops) and ops[head] == ord("i"):
             head += 1
         tail = 0
         while tail < len(ops) and ops[len(ops) - 1 - tail] == ord("i"):
             tail += 1
-        if head and tstart_arr == 0:
+        if head and tstart_abs == self.lo:
             self.cons = np.concatenate([codes[:head], self.cons])
             self.lo -= head
             ops[:head] = ord("=")
-            tstart_arr = 0
-            tend_arr += head
-            n = len(self.cons)
-        if tail and tend_arr == n and head + tail <= len(ops):
-            self.cons = np.concatenate([self.cons, codes[mlen - tail :]])
-            ops[len(ops) - tail :] = ord("=")
-            tend_arr += tail
+            tstart_abs -= head
+        if tail and tend_abs == self.hi and head + tail <= len(ops):
+            self.cons = np.concatenate([self.cons, codes[mlen - tail:]])
+            ops[len(ops) - tail:] = ord("=")
 
-        tstart = tstart_arr + self.lo
-        self.members.append(_Member(rid, int(is_rc), tstart, ops, int(res.cost[0])))
+        self.members.append(_Member(rid, is_rc, tstart_abs, ops, cost))
         self.total_aligned += mlen
 
-        # anchor table for this member: minimizer positions mapped through the
-        # alignment into consensus coords (oriented coords -> tpos)
+        # anchor table for this member: minimizer positions mapped through
+        # the alignment into consensus coords (oriented coords -> tpos).
+        # Positions inside 'i' runs are DROPPED: an inserted query base has
+        # no target position (q2t collapses whole runs onto one cursor
+        # value), and anchors built there would hand children wildly wrong
+        # diagonals — a self-reinforcing misplacement cascade.
+        h, p, f = fwd_anchors
         if is_rc:
-            oh, op_, of = mz.minimizers(codes, cfg.seed_kmer_size, cfg.seed_window)
-        else:
-            oh, op_, of = r_h, r_p, r_f
-        q2t = mz.qpos_to_tpos_map(ops, tstart, mlen)
-        self.anchors[rid] = (oh, q2t[op_], of)
-        return True
+            h, p, f = _mirror_anchors(h, p, f, mlen, cfg.seed_kmer_size)
+        p = np.clip(p, 0, mlen - 1)
+        consumes_q = ops != ord("d")
+        qop = ops[consumes_q]                      # op consuming q position i
+        keep = qop[p] != ord("i")
+        q2t = mz.qpos_to_tpos_map(ops, tstart_abs, mlen)
+        self.anchors[rid] = (h[keep], q2t[p][keep], f[keep])
 
 
 def _emit_contig(state: _ContigState, store) -> dict:
@@ -217,6 +202,265 @@ def _emit_contig(state: _ContigState, store) -> dict:
     }
 
 
+@dataclasses.dataclass
+class _Item:
+    """One frontier entry: candidate rid to be placed on contig cid."""
+    cid: int
+    rid: int
+    parent: int
+    attempts: int = 0
+
+
+@dataclasses.dataclass
+class _Placed:
+    """A frontier item that anchored successfully, ready for banded DP."""
+    item: _Item
+    is_rc: int
+    codes: np.ndarray       # oriented query codes
+    qlo: int
+    qhi: int
+    wlo: int                # consensus-coord window passed as DP target
+    whi: int
+    snap_lo: int            # contig extent at placement time
+    snap_hi: int
+    d0_win: int             # expected diagonal in window/clipped coords
+    fwd_anchors: tuple      # candidate's forward-orientation minimizers
+
+
+class _Wavefront:
+    """Cross-contig frontier scheduler around the batched aligner."""
+
+    def __init__(self, store, cfg: CompressConfig, stats: FunnelStats,
+                 adj_off: np.ndarray, adj: np.ndarray, claimed: np.ndarray,
+                 comp_of: np.ndarray):
+        self.store = store
+        self.cfg = cfg
+        self.stats = stats
+        self.adj_off = adj_off
+        self.adj = adj
+        self.claimed = claimed
+        self.states: dict[int, _ContigState] = {}
+        self.queue: list[_Item] = []
+        self.done: list[_ContigState] = []
+        self.visited: dict[int, set] = {}  # cid -> rids ever enqueued
+        self._mz_cache: dict[int, tuple] = {}
+        self._next_cid = 0
+        # one growing contig per overlap component at a time: concurrent
+        # seeds inside one component would fragment it into competing
+        # contigs (the cross-contig batch axis comes from many components
+        # and from each contig's own frontier width)
+        self.comp_of = comp_of
+        self._comp_cursor: dict[int, int] = {}  # comp -> next seed scan pos
+        self._comp_members: dict[int, np.ndarray] = {}
+
+    # -- contig lifecycle ---------------------------------------------------
+
+    def register_component(self, comp: int, members: np.ndarray) -> None:
+        self._comp_members[comp] = members
+        self._comp_cursor[comp] = 0
+
+    def activate_next_in_comp(self, comp: int) -> bool:
+        """Claim the next eligible seed of a component; False if exhausted.
+
+        Iterates until an activated seed actually has work (a seed whose
+        neighbors were all claimed by earlier contigs finalizes instantly).
+        """
+        min_len = max(self.cfg.kmer_size, self.cfg.min_read_len_for_sketch)
+        while True:
+            members = self._comp_members.get(comp)
+            if members is None:
+                return False
+            cur = self._comp_cursor[comp]
+            seed = -1
+            while cur < len(members):
+                s = int(members[cur])
+                cur += 1
+                if not self.claimed[s] and self.store.lengths[s] >= min_len:
+                    seed = s
+                    break
+            self._comp_cursor[comp] = cur
+            if seed < 0:
+                del self._comp_members[comp]
+                return False
+            if self._activate_seed(seed):
+                return True
+
+    def _activate_seed(self, seed: int) -> bool:
+        """Start a contig at ``seed``; False if it had no live frontier."""
+        self.claimed[seed] = True
+        cid = self._next_cid
+        self._next_cid += 1
+        st = _ContigState(cid, seed, self.store.get_codes(seed), self.cfg)
+        st.add_seed_member(seed, st.cons)
+        self.states[cid] = st
+        self.visited[cid] = {seed}
+        self._enqueue_children(st, seed)
+        if st.pending == 0:
+            self._finalize(st, reseed=False)
+            return False
+        return True
+
+    def _enqueue_children(self, st: _ContigState, rid: int) -> None:
+        vis = self.visited[st.cid]
+        for r2 in self.adj[self.adj_off[rid]: self.adj_off[rid + 1]]:
+            r2 = int(r2)
+            if not self.claimed[r2] and r2 not in vis:
+                vis.add(r2)
+                self.queue.append(_Item(st.cid, r2, rid))
+                st.pending += 1
+
+    def _finalize(self, st: _ContigState, reseed: bool = True) -> None:
+        if st.cid not in self.states:
+            return
+        del self.states[st.cid]
+        del self.visited[st.cid]
+        if len(st.members) > 1:
+            self.done.append(st)
+        else:
+            self.claimed[st.members[0].rid] = False  # lone after all
+        if reseed:
+            # hand the component to its next unclaimed seed (residual reads
+            # the finished contig failed to absorb get their own chance)
+            self.activate_next_in_comp(int(self.comp_of[st.members[0].rid]))
+
+    # -- frontier batch -----------------------------------------------------
+
+    def _forward_minimizers(self, rid: int, codes: np.ndarray):
+        a = self._mz_cache.get(rid)
+        if a is None:
+            a = mz.minimizers(codes, self.cfg.seed_kmer_size, self.cfg.seed_window)
+            a = (a[0], a[1].astype(np.int64), a[2])
+            self._mz_cache[rid] = a
+        return a
+
+    def _place(self, it: _Item) -> _Placed | None:
+        """Host anchoring: candidate -> (orientation, clipped window, d0)."""
+        cfg = self.cfg
+        st = self.states.get(it.cid)
+        if st is None or st.closed:
+            return None
+        pa = st.anchors.get(it.parent)
+        if pa is None:
+            return None
+        codes_fwd = self.store.get_codes(it.rid)
+        r_h, r_p, r_f = self._forward_minimizers(it.rid, codes_fwd)
+        if len(r_h) == 0:
+            return None
+        m = mz.match_anchors(
+            pa[0], pa[1], pa[2], r_h, r_p, r_f, len(codes_fwd),
+            cfg.seed_kmer_size, max_anchors=cfg.max_chain_iter,
+        )
+        if m is None:
+            return None
+        is_rc, d0_abs, _votes = m
+        codes = _orient_codes(codes_fwd, int(is_rc))
+        mlen = len(codes)
+        band = cfg.band_width
+        # clip the query to the predicted overlap window: overhangs past the
+        # consensus ends would walk out of the band as insertion runs, so
+        # align only [qlo, qhi) and re-attach the clipped ends as head/tail
+        # insertions (which accept() converts to consensus growth).
+        qlo = max(0, (st.lo - d0_abs) - band // 2)
+        qhi = min(mlen, (st.hi - d0_abs) + band // 2)
+        if qhi - qlo < cfg.min_overlap:
+            return None
+        # clip the DP target to the band-reachable consensus window
+        wlo = max(st.lo, d0_abs + qlo - band)
+        whi = min(st.hi, d0_abs + qhi + band)
+        return _Placed(
+            item=it, is_rc=int(is_rc), codes=codes, qlo=qlo, qhi=qhi,
+            wlo=wlo, whi=whi, snap_lo=st.lo, snap_hi=st.hi,
+            d0_win=(d0_abs + qlo) - wlo,
+            fwd_anchors=(r_h, r_p, r_f),
+        )
+
+    def run_batch(self) -> None:
+        cfg = self.cfg
+        batch: list[_Placed] = []
+        consumed: list[_Item] = []
+        while self.queue and len(batch) < cfg.align_batch:
+            it = self.queue.pop()
+            consumed.append(it)
+            if self.claimed[it.rid]:
+                continue
+            self.stats.not_claimed += 1
+            p = self._place(it)
+            if p is not None:
+                batch.append(p)
+
+        if batch:
+            t_parts = [self.states[p.item.cid].cons[p.wlo - self.states[p.item.cid].lo:
+                                                    p.whi - self.states[p.item.cid].lo]
+                       for p in batch]
+            q_parts = [p.codes[p.qlo:p.qhi] for p in batch]
+            t_len = np.array([len(t) for t in t_parts], dtype=np.int64)
+            q_len = np.array([len(q) for q in q_parts], dtype=np.int64)
+            t_off = np.zeros(len(batch), np.int64)
+            np.cumsum(t_len[:-1], out=t_off[1:])
+            q_off = np.zeros(len(batch), np.int64)
+            np.cumsum(q_len[:-1], out=q_off[1:])
+            res = al.banded_align_batch(
+                np.concatenate(t_parts), t_off, t_len,
+                np.concatenate(q_parts), q_off, q_len,
+                np.array([p.d0_win for p in batch], np.int64),
+                band=cfg.band_width,
+                max_cost_per_kb=int(cfg.max_edit_frac * 1000),
+            )
+            for bi, p in enumerate(batch):
+                self._apply(p, res, bi)
+
+        # decrement pending and finalize drained contigs
+        for it in consumed:
+            st = self.states.get(it.cid)
+            if st is None:
+                continue
+            st.pending -= 1
+            if st.pending == 0:
+                self._finalize(st)
+
+    def _apply(self, p: _Placed, res: al.AlignResult, bi: int) -> None:
+        it = p.item
+        st = self.states.get(it.cid)
+        if st is None or st.closed or self.claimed[it.rid]:
+            return
+        if res.cost[bi] < 0:
+            return
+        mlen = len(p.codes)
+        core_ops = res.ops_flat[res.ops_off[bi]: res.ops_off[bi] + res.ops_len[bi]]
+        ops = np.concatenate([
+            np.full(p.qlo, ord("i"), dtype=np.uint8),
+            core_ops,
+            np.full(mlen - p.qhi, ord("i"), dtype=np.uint8),
+        ])
+        tstart_abs = p.wlo + int(res.tstart[bi])
+        tend_abs = p.wlo + int(res.tend[bi])
+        # The result wanted to splice its overhang onto a consensus end that
+        # another batch member already extended (only the first splicer of
+        # an end wins; coords are absolute so interior results stay valid).
+        # Accepting now would store the whole overhang as insertion runs —
+        # retry instead: once the end stabilizes the overhang aligns
+        # against the newly grown consensus. Bounded by coverage, so the
+        # attempt cap is just a livelock guard.
+        head_run = int(np.argmax(ops != ord("i"))) if (ops != ord("i")).any() else len(ops)
+        tail_run = (int(np.argmax(ops[::-1] != ord("i")))
+                    if (ops != ord("i")).any() else 0)
+        head_lost = head_run > 0 and tstart_abs == p.snap_lo and st.lo != p.snap_lo
+        tail_lost = tail_run > 0 and tend_abs == p.snap_hi and st.hi != p.snap_hi
+        if (head_lost or tail_lost) and it.attempts < 8:
+            it.attempts += 1
+            self.queue.append(it)
+            st.pending += 1
+            return
+        self.stats.aligned_ok += 1
+        self.claimed[it.rid] = True
+        self._mz_cache.pop(it.rid, None)
+        st.accept(it.rid, p.is_rc, tstart_abs, tend_abs, ops,
+                  int(res.cost[bi]), p.codes, p.fwd_anchors)
+        self._enqueue_children(st, it.rid)
+        if st.total_aligned > self.cfg.edge_threshold:
+            st.closed = True
+
+
 def build_contigs(
     store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
 ) -> tuple[list[ContigBatch], np.ndarray]:
@@ -229,7 +473,7 @@ def build_contigs(
     pairs_r: list[np.ndarray] = []
     B = cfg.sketch_batch_reads
     for i in range(0, N, B):
-        q, r, _hits = index.query(sketches[i : i + B], cfg.overlap_sketch_threshold)
+        q, r, _hits = index.query(sketches[i: i + B], cfg.overlap_sketch_threshold)
         keep = (q + i) != r
         pairs_q.append(q[keep] + i)
         pairs_r.append(r[keep])
@@ -246,45 +490,36 @@ def build_contigs(
     adj_off = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(deg, out=adj_off[1:])
 
-    claimed = np.zeros(N, dtype=bool)
-    contig_dicts: list[dict] = []
-    lone: list[int] = []
+    # overlap components of the pair graph; one growing contig per
+    # component at a time, all components concurrently (the cross-contig
+    # batch axis)
+    import scipy.sparse as sp
+    from scipy.sparse import csgraph
 
-    min_len = max(cfg.kmer_size, cfg.min_read_len_for_sketch)
-    for seed in range(N):
-        if claimed[seed] or store.lengths[seed] < min_len:
+    g = sp.csr_matrix(
+        (np.ones(len(src), dtype=np.int8), (src, dst)), shape=(N, N)
+    )
+    n_comp, comp_of = csgraph.connected_components(g, directed=False)
+    comp_sizes = np.bincount(comp_of, minlength=n_comp)
+    comp_order = np.argsort(comp_of, kind="stable")
+
+    claimed = np.zeros(N, dtype=bool)
+    wf = _Wavefront(store, cfg, stats, adj_off, dst, claimed, comp_of)
+
+    boundaries = np.zeros(n_comp + 1, dtype=np.int64)
+    np.cumsum(comp_sizes, out=boundaries[1:])
+    for comp in range(n_comp):
+        members = comp_order[boundaries[comp]: boundaries[comp + 1]]
+        if len(members) < 2:
             continue
-        if adj_off[seed + 1] == adj_off[seed]:
-            continue  # no candidates: lone unless claimed later
-        claimed[seed] = True
-        seed_codes = store.get_codes(seed)
-        state = _ContigState(seed, seed_codes, cfg)
-        state.add_seed_member(seed, seed_codes)
-        visited = {seed}
-        queue = collections.deque(
-            (int(r), seed) for r in dst[adj_off[seed] : adj_off[seed + 1]]
-        )
-        while queue:
-            rid, parent = queue.popleft()
-            if claimed[rid] or rid in visited:
-                continue
-            visited.add(rid)
-            stats.not_claimed += 1
-            if store.lengths[rid] < min_len:
-                continue
-            codes_fwd = store.get_codes(rid)
-            if state.try_add(rid, parent, codes_fwd, stats):
-                claimed[rid] = True
-                for r2 in dst[adj_off[rid] : adj_off[rid + 1]]:
-                    r2 = int(r2)
-                    if not claimed[r2] and r2 not in visited:
-                        queue.append((r2, rid))
-                if state.total_aligned > cfg.edge_threshold:
-                    break
-        if len(state.members) > 1:
-            contig_dicts.append(_emit_contig(state, store))
-        else:
-            claimed[seed] = False  # single-read contig -> lone
+        wf.register_component(comp, members)
+        wf.activate_next_in_comp(comp)
+    while wf.queue:
+        wf.run_batch()
+    for st in list(wf.states.values()):
+        wf._finalize(st)
+
+    contig_dicts = [_emit_contig(st, store) for st in wf.done]
     lone = np.flatnonzero(~claimed)
 
     # combine all contigs into one ContigBatch
