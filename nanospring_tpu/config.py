@@ -40,6 +40,9 @@ class CompressConfig:
     # --- batching (TPU shapes) ---
     sketch_batch_reads: int = 4096     # reads per sketch kernel launch
     align_batch: int = 512             # (window, candidate) pairs per align launch
+    frontier_target: int = 96          # queue depth the seeder tops up to;
+                                       # more = fuller align batches but more
+                                       # concurrent contigs (fragmentation)
     max_read_len_bucket: int = 1 << 17 # pad bucket ceiling for kernel launches
 
     # --- pipeline selection ---

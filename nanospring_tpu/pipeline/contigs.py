@@ -245,41 +245,67 @@ class _Wavefront:
         self.visited: dict[int, set] = {}  # cid -> rids ever enqueued
         self._mz_cache: dict[int, tuple] = {}
         self._next_cid = 0
-        # one growing contig per overlap component at a time: concurrent
-        # seeds inside one component would fragment it into competing
-        # contigs (the cross-contig batch axis comes from many components
-        # and from each contig's own frontier width)
+        # Contigs per component: unconstrained concurrent seeds inside one
+        # component fragment it into competing contigs, but one contig at a
+        # time starves the alignment batch (frontier width ~ coverage). So
+        # extra seeds are allowed only where no frontier has reached yet
+        # (``touched`` = enqueued by any contig): contigs stay >=2 hops
+        # apart and meet at claim boundaries — the same partitioning the
+        # reference gets from its per-thread contigs
+        # (reference: src/Consensus.cpp:41,444-468, thread-count-dependent).
         self.comp_of = comp_of
+        self.touched = np.zeros(len(claimed), dtype=bool)
         self._comp_cursor: dict[int, int] = {}  # comp -> next seed scan pos
+        self._comp_phase: dict[int, int] = {}   # 0 = fresh pass, 1 = residual
         self._comp_members: dict[int, np.ndarray] = {}
+        self.comp_active: dict[int, int] = {}   # comp -> live contig count
 
     # -- contig lifecycle ---------------------------------------------------
 
     def register_component(self, comp: int, members: np.ndarray) -> None:
         self._comp_members[comp] = members
         self._comp_cursor[comp] = 0
+        self._comp_phase[comp] = 0
+        self.comp_active[comp] = 0
 
-    def activate_next_in_comp(self, comp: int) -> bool:
-        """Claim the next eligible seed of a component; False if exhausted.
+    def expandable_comps(self) -> list[int]:
+        return [c for c, ph in self._comp_phase.items()
+                if ph == 0 and c in self._comp_members]
 
-        Iterates until an activated seed actually has work (a seed whose
-        neighbors were all claimed by earlier contigs finalizes instantly).
+    def activate_next_in_comp(self, comp: int, fresh_only: bool = False) -> bool:
+        """Claim the next eligible seed of a component; False if none.
+
+        The fresh pass only seeds untouched reads (keeps concurrent contigs
+        separated); the residual pass reclaims unclaimed leftovers and only
+        runs once the component has no live contigs. Iterates until an
+        activated seed actually has work (a seed whose neighbors were all
+        claimed by earlier contigs finalizes instantly).
         """
         min_len = max(self.cfg.kmer_size, self.cfg.min_read_len_for_sketch)
         while True:
             members = self._comp_members.get(comp)
             if members is None:
                 return False
+            fresh = self._comp_phase[comp] == 0
+            if not fresh and (fresh_only or self.comp_active.get(comp, 0) > 0):
+                return False
             cur = self._comp_cursor[comp]
             seed = -1
             while cur < len(members):
                 s = int(members[cur])
                 cur += 1
-                if not self.claimed[s] and self.store.lengths[s] >= min_len:
-                    seed = s
-                    break
+                if self.claimed[s] or self.store.lengths[s] < min_len:
+                    continue
+                if fresh and self.touched[s]:
+                    continue
+                seed = s
+                break
             self._comp_cursor[comp] = cur
             if seed < 0:
+                if fresh:
+                    self._comp_phase[comp] = 1
+                    self._comp_cursor[comp] = 0
+                    continue
                 del self._comp_members[comp]
                 return False
             if self._activate_seed(seed):
@@ -288,12 +314,14 @@ class _Wavefront:
     def _activate_seed(self, seed: int) -> bool:
         """Start a contig at ``seed``; False if it had no live frontier."""
         self.claimed[seed] = True
+        self.touched[seed] = True
         cid = self._next_cid
         self._next_cid += 1
         st = _ContigState(cid, seed, self.store.get_codes(seed), self.cfg)
         st.add_seed_member(seed, st.cons)
         self.states[cid] = st
         self.visited[cid] = {seed}
+        self.comp_active[int(self.comp_of[seed])] += 1
         self._enqueue_children(st, seed)
         if st.pending == 0:
             self._finalize(st, reseed=False)
@@ -306,6 +334,7 @@ class _Wavefront:
             r2 = int(r2)
             if not self.claimed[r2] and r2 not in vis:
                 vis.add(r2)
+                self.touched[r2] = True
                 self.queue.append(_Item(st.cid, r2, rid))
                 st.pending += 1
 
@@ -318,10 +347,12 @@ class _Wavefront:
             self.done.append(st)
         else:
             self.claimed[st.members[0].rid] = False  # lone after all
+        comp = int(self.comp_of[st.members[0].rid])
+        self.comp_active[comp] -= 1
         if reseed:
             # hand the component to its next unclaimed seed (residual reads
             # the finished contig failed to absorb get their own chance)
-            self.activate_next_in_comp(int(self.comp_of[st.members[0].rid]))
+            self.activate_next_in_comp(comp)
 
     # -- frontier batch -----------------------------------------------------
 
@@ -506,16 +537,34 @@ def build_contigs(
     claimed = np.zeros(N, dtype=bool)
     wf = _Wavefront(store, cfg, stats, adj_off, dst, claimed, comp_of)
 
+    import collections
+
     boundaries = np.zeros(n_comp + 1, dtype=np.int64)
     np.cumsum(comp_sizes, out=boundaries[1:])
+    expand = collections.deque()
     for comp in range(n_comp):
         members = comp_order[boundaries[comp]: boundaries[comp + 1]]
         if len(members) < 2:
             continue
         wf.register_component(comp, members)
-        wf.activate_next_in_comp(comp)
-    while wf.queue:
+        expand.append(comp)
+
+    # main loop: top the frontier up with fresh well-separated seeds
+    # (round-robin over components) so every alignment batch is full
+    while True:
+        while len(wf.queue) < cfg.frontier_target and expand:
+            if wf.activate_next_in_comp(expand[0], fresh_only=True):
+                expand.rotate(-1)
+            else:
+                expand.popleft()
+        if not wf.queue:
+            break
         wf.run_batch()
+    # residual drain: components whose leftovers weren't reseeded yet
+    for comp in list(wf._comp_members.keys()):
+        while wf.activate_next_in_comp(comp):
+            while wf.queue:
+                wf.run_batch()
     for st in list(wf.states.values()):
         wf._finalize(st)
 
