@@ -54,10 +54,49 @@ def _zlib_d(b: bytes) -> bytes:
     return zlib.decompress(b)
 
 
+def _nsbwt_c(b: bytes) -> bytes:
+    """From-scratch C++ BWT+MTF+RLE0+range-coder block codec (native/codec.cpp),
+    the libbsc-role stage (reference: src/bsc.cpp, libbsc/)."""
+    import ctypes
+
+    import numpy as np
+
+    from .. import native
+
+    lib = native.get_lib()
+    src = np.frombuffer(b, dtype=np.uint8)
+    out = np.empty(len(b) + 1024, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.ns_bsc_compress(
+        src.ctypes.data_as(u8p), ctypes.c_int64(len(b)), out.ctypes.data_as(u8p)
+    )
+    return out[:n].tobytes()
+
+
+def _nsbwt_d(b: bytes) -> bytes:
+    import ctypes
+    import struct as _st
+
+    import numpy as np
+
+    from .. import native
+
+    lib = native.get_lib()
+    (raw_n,) = _st.unpack_from("<I", b, 0)
+    src = np.frombuffer(b, dtype=np.uint8)
+    out = np.empty(max(raw_n, 1), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.ns_bsc_decompress(
+        src.ctypes.data_as(u8p), ctypes.c_int64(len(b)), out.ctypes.data_as(u8p)
+    )
+    return out[:n].tobytes()
+
+
 _BACKENDS: dict[str, tuple] = {
     "bz2": (_bz2_c, _bz2_d),
     "lzma": (_lzma_c, _lzma_d),
     "zlib": (_zlib_c, _zlib_d),
+    "nsbwt": (_nsbwt_c, _nsbwt_d),
     "raw": (lambda b: b, lambda b: b),
 }
 

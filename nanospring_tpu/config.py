@@ -55,7 +55,8 @@ class CompressConfig:
 
     # --- codec stage (reference: src/Compressor.cpp:126-130) ---
     base_codec: str = "lzma"           # .base stream codec (ref: fast-lzma2)
-    default_codec: str = "bz2"         # other streams (ref: libbsc, BWT-class)
+    default_codec: str = "nsbwt"       # other streams: from-scratch C++ BWT
+                                       # codec (ref: libbsc, BWT-class)
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)

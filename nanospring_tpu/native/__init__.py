@@ -17,7 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
-_SOURCES = ["align.cpp"]
+_SOURCES = ["align.cpp", "codec.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -63,5 +63,9 @@ def get_lib() -> ctypes.CDLL:
                 u8p, i64p, i64p, u8p, i64p, i64p, i64p, i32, i32, i64,
                 u8p, i64p, i64, i64p, i64p, i64p, i32p,
             ]
+            lib.ns_bsc_compress.restype = i64
+            lib.ns_bsc_compress.argtypes = [u8p, i64, u8p]
+            lib.ns_bsc_decompress.restype = i64
+            lib.ns_bsc_decompress.argtypes = [u8p, i64, u8p]
             _LIB = lib
     return _LIB

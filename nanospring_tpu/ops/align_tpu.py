@@ -4,27 +4,34 @@ TPU-native replacement for the batched banded DP in native/align.cpp (itself
 the from-scratch equivalent of the reference's minimap2 base-level extension,
 reference: src/ConsensusGraph.cpp:161-398 -> minimap2/align.c ksw_extz2_sse).
 
-Design (one grid program per pair; the batch IS the grid):
+Design — 8 pairs per grid program (sublane = pair, lane = band slot):
 
 - Band of 256 slots, slot k <-> target column j = d0 + i + (k - 128) at query
-  row i (antidiagonal coordinates): every DP row is one 256-lane VPU vector.
-- The host pre-extracts a *diagonal-shifted* target buffer
+  row i (antidiagonal coordinates): the 8 pairs' DP rows form one (8, 256)
+  int32 block, a full VPU shape. TPU grid programs run sequentially on the
+  TensorCore, so all parallelism must be inside the program.
+- The host pre-extracts a *diagonal-shifted* target buffer per pair
   ``tpad[x] = t[x + d0 - 129]`` so row i's target characters are the
-  contiguous slice ``tpad[i : i + 256]`` — no in-kernel gather.
+  contiguous slice ``tpad[:, i : i+256]`` — one aligned (8, 512) load plus a
+  dynamic rotate (lane-dim dynamic offsets must be 128-aligned on TPU).
 - Unit-cost moves: diag (match 0 / sub 1), up = insertion, left = deletion.
   The in-row left-move chain (cur[k] = cur[k-1] + 1) is an exact prefix-min:
   cur[k] = min(base[k], k + min_{k'<=k}(base[k'] - k')), computed in log2(256)
   = 8 shifted-min steps. No sequential scan.
-- Per-row direction+match records (3 bits as uint8) land in a VMEM scratch of
-  (M_pad+1, 256) via *vector* row stores; Mosaic forbids scalar VMEM access,
-  so the traceback is also vectorized: one backward pass over rows that
-  resolves each row's deletion chain with a masked max-reduction and writes
-  one packed int32 per query row (dels | optype<<16 | match<<18) into a
-  (1, M_pad) trace vector with a masked row update. The host expands the
-  per-row records into op bytes ('=', 's', 'i', 'd') with numpy — O(ops)
-  work, no DP state ever leaves the device (d2h is 4 B/query-base).
-- Early abort when a row's minimum exceeds max_cost (cost -1), mirroring the
-  C++ engine's reject path.
+- Direction+match records (3 bits/cell) for the 8 pairs are packed into one
+  (1, 256) int32 row (4 bits per pair, shift by 4*sublane + or-reduce),
+  buffered in an (8, 256) register group and stored to the (M_pad+8, 256)
+  int32 VMEM scratch every 8th row (dynamic sublane stores must be 8-aligned).
+- Traceback is also vectorized across the 8 pairs: one backward pass over
+  rows; each row resolves every pair's deletion chain with masked lane
+  reductions and writes one packed int32 per (pair, query row)
+  (dels | optype<<16 | match<<18) into a (8, 128) register strip, flushed to
+  the (8, M_pad) trace scratch every 128 rows. The host expands the per-row
+  records into op bytes ('=', 's', 'i', 'd') with numpy — O(ops) work, and
+  no DP state ever leaves the device (d2h is 4 B/query-base).
+- No early abort: per-pair rejection (cost > max_cost) is decided after the
+  final row — row minima are monotone, so the decision is identical to the
+  C++ engine's mid-DP abort; only the arithmetic is speculative.
 
 Dummy pairs (q_len == 0) make padding to a fixed batch size free, keeping
 the number of compiled (batch, M_pad) shapes small.
@@ -45,44 +52,51 @@ from .align import AlignResult
 _W2 = 256          # band slots (one VPU row)
 _KOFF = 128        # slot k <-> diagonal offset k - _KOFF, in [-128, 127]
 _INF = np.int32(1 << 30)
-
-
-def _ops_cap(m_pad: int) -> int:
-    # dels <= cost <= m/2 + 8 under any max_cost_per_kb <= 500, so
-    # ops_len <= 1.5*m + 16; rounded up for lane alignment.
-    return m_pad + m_pad // 2 + 128
+_SUB = 8           # pairs per grid program (sublane dimension)
+M_PAD_MAX = 8192   # dirs scratch is (M_pad+8)*256 int32 <= ~8.4 MB VMEM
 
 
 def _kernel(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
             cost_ref, len_ref, ts_ref, te_ref, trace_out, dirs, trace):
     pid = pl.program_id(0)
-    d0 = d0_ref[pid]
-    m = m_ref[pid]
-    n = n_ref[pid]
-    maxc = maxc_ref[pid]
     INF = jnp.int32(_INF)
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W2), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W2), 1)       # band slot
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)    # pair-in-block
+    sub256 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _W2), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def col(ref):
+        # assemble an (8, 1) per-pair column from 8 SMEM scalars
+        out = jnp.zeros((_SUB, 1), jnp.int32)
+        for s in range(_SUB):
+            out = jnp.where(sub == s, ref[_SUB * pid + s], out)
+        return out
+
+    d0 = col(d0_ref)
+    m = col(m_ref)
+    n = col(n_ref)
+    maxc = col(maxc_ref)
+    i_max = jnp.max(m)
 
     j0 = d0 + (k - _KOFF)
     prev0 = jnp.where((j0 >= 0) & (j0 <= n), jnp.int32(0), INF)
-    # dynamic sublane access must be 8-aligned: rows are written (and read)
-    # through (8, 256) groups; dbuf carries the current group in registers.
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, _W2), 0)
-    dbuf0 = jnp.full((8, _W2), 3, jnp.int32)
+    dbuf0 = jnp.broadcast_to(jnp.int32(0x33333333), (_SUB, _W2))  # all dir=3
 
     def row(carry):
-        i, prev, dbuf, _alive = carry
-        # row i needs tpad[i : i+256]; lane-dim dynamic loads must be
+        i, prev, dbuf = carry
+        # row i needs tpad[:, i : i+256]; lane-dim dynamic loads must be
         # 128-aligned, so load an aligned 512 window and rotate into place.
         ib = pl.multiple_of(((i - 1) // 128) * 128, 128)
-        chunk = tpad_ref[0, 0, pl.ds(ib, 2 * _W2)].reshape(1, 2 * _W2)
-        chunk = pltpu.roll(chunk.astype(jnp.int32), 2 * _W2 - (i - ib), axis=1)
+        chunk = tpad_ref[0, :, pl.ds(ib, 2 * _W2)].astype(jnp.int32)
+        chunk = pltpu.roll(chunk, 2 * _W2 - (i - ib), axis=1)
         tchar = chunk[:, :_W2]
-        # q[i-1] without a scalar VMEM load: aligned 128-lane chunk + mask
+        # q[:, i-1] without a scalar VMEM load: aligned 128-lane chunk + mask
         qb = pl.multiple_of(((i - 1) // 128) * 128, 128)
-        qchunk = q_ref[0, 0, pl.ds(qb, 128)].reshape(1, 128)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        qc = jnp.max(jnp.where(lane128 == (i - 1 - qb), qchunk, jnp.int32(-1)))
+        qchunk = q_ref[0, :, pl.ds(qb, 128)]
+        qc = jnp.max(
+            jnp.where(lane128 == (i - 1 - qb), qchunk, jnp.int32(-1)),
+            axis=1, keepdims=True,
+        )
         j = d0 + i + (k - _KOFF)
         jvalid = (j >= 0) & (j <= n)
         dvalid = (j >= 1) & (j <= n)
@@ -92,7 +106,7 @@ def _kernel(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
             prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
             INF,
         )
-        up = pltpu.roll(prev, _W2 - 1, axis=1)       # up[k] = prev[k+1] (cyclic)
+        up = pltpu.roll(prev, _W2 - 1, axis=1)       # up[k] = prev[k+1]
         up = jnp.where((k < _W2 - 1) & (up < INF), up + 1, INF)
         base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
         # left-move chains: prefix-min over (base - k), then + k
@@ -107,100 +121,117 @@ def _kernel(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
             jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
         )
         d = jnp.where(cur >= INF, jnp.int32(3), d)
-        dbuf = jnp.where(sub8 == (i % 8), jnp.broadcast_to(d, (8, _W2)), dbuf)
-        base_row = pl.multiple_of((i // 8) * 8, 8)
-        dirs[pl.ds(base_row, 8), :] = dbuf.astype(jnp.uint8)
-        return i + 1, cur, dbuf, jnp.min(cur) <= maxc
+        cur = jnp.where(i <= m, cur, prev)           # freeze finished pairs
+        # pack the 8 pairs' 3-bit codes into one int32 row (4 bits per pair)
+        packed = jnp.sum(d << (4 * sub), axis=0, keepdims=True)
+        dbuf = jnp.where(sub256 == (i % 8), jnp.broadcast_to(packed, (_SUB, _W2)), dbuf)
+        # dynamic sublane stores must be 8-aligned: flush the group
+        @pl.when((i % 8 == 7) | (i == i_max))
+        def _():
+            base_row = pl.multiple_of((i // 8) * 8, 8)
+            dirs[pl.ds(base_row, 8), :] = dbuf
+        return i + 1, cur, dbuf
 
-    def row_cond(carry):
-        i, _prev, _dbuf, alive = carry
-        return (i <= m) & alive
-
-    i_end, prev, _dbuf, alive = jax.lax.while_loop(
-        row_cond, row, (1, prev0, dbuf0, True)
+    _i, prev, _dbuf = jax.lax.while_loop(
+        lambda c: c[0] <= i_max, row, (jnp.int32(1), prev0, dbuf0)
     )
 
     jm = d0 + m + (k - _KOFF)
-    final = jnp.where((jm >= 0) & (jm <= n) & alive, prev, INF)
-    best = jnp.min(final)
+    final = jnp.where((jm >= 0) & (jm <= n), prev, INF)
+    best = jnp.min(final, axis=1, keepdims=True)
     # first slot achieving the min (matches np.argmin tie-breaking)
-    best_k = jnp.min(jnp.where(final == best, k, jnp.int32(_W2)))
-    ok = (best <= maxc) & alive
+    best_k = jnp.min(
+        jnp.where(final == best, k, jnp.int32(_W2)), axis=1, keepdims=True
+    )
+    ok = (best <= maxc) & (m > 0)
 
     m_cap = trace.shape[1]
-    miota = jax.lax.broadcasted_iota(jnp.int32, (1, m_cap), 1)
 
-    def traceback(_):
-        def tb(carry):
-            i, kk, ndel = carry
-            base_row = pl.multiple_of((i // 8) * 8, 8)
-            blk = dirs[pl.ds(base_row, 8), :].astype(jnp.int32)
-            row_d = jnp.max(
-                jnp.where(sub8 == (i % 8), blk, jnp.int32(-1)),
-                axis=0, keepdims=True,
-            )
-            opb = row_d & 3
-            nd_mask = (opb != 2) & (k <= kk)
-            kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)))
-            dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)))
-            optype = dval & 3
-            mbit = dval >> 2
-            dels = kk - kp
-            packed = dels + (optype << 16) + (mbit << 18)
-            trace[:, :] = jnp.where(miota == i - 1, packed, trace[:, :])
-            kk_next = kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0))
-            return i - 1, kk_next, ndel + dels
-
-        i_fin, k_fin, ndel = jax.lax.while_loop(
-            lambda c: c[0] > 0, tb, (m, best_k, jnp.int32(0))
+    def tb(carry):
+        i, kk, ndel, strip = carry
+        active = (i <= m) & ok
+        base_row = pl.multiple_of((i // 8) * 8, 8)
+        blk = dirs[pl.ds(base_row, 8), :]
+        rowp = jnp.max(
+            jnp.where(sub256 == (i % 8), blk, jnp.int32(-1)),
+            axis=0, keepdims=True,
         )
-        return best, m + ndel, d0 + (k_fin - _KOFF), d0 + m + (best_k - _KOFF)
+        row_d = (jnp.broadcast_to(rowp, (_SUB, _W2)) >> (4 * sub)) & 7
+        opb = row_d & 3
+        nd_mask = (opb != 2) & (k <= kk)
+        kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)), axis=1, keepdims=True)
+        dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                       axis=1, keepdims=True)
+        optype = dval & 3
+        mbit = dval >> 2
+        dels = kk - kp
+        packed = dels + (optype << 16) + (mbit << 18)
+        strip = jnp.where((lane128 == ((i - 1) % 128)) & active, packed, strip)
+        flush = (i - 1) % 128 == 0
 
-    cost, ops_len, tstart, tend = jax.lax.cond(
-        ok & (m > 0),
-        traceback,
-        lambda _: (jnp.where(m > 0, jnp.int32(-1), jnp.int32(0)),
-                   jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-        None,
+        @pl.when(flush)
+        def _():
+            soff = pl.multiple_of(i - 1, 128)
+            trace[:, pl.ds(soff, 128)] = strip
+
+        strip = jnp.where(flush, jnp.int32(0), strip)
+        kk = jnp.where(active,
+                       kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+                       kk)
+        ndel = ndel + jnp.where(active, dels, jnp.int32(0))
+        return i - 1, kk, ndel, strip
+
+    _i2, k_fin, ndel, _strip = jax.lax.while_loop(
+        lambda c: c[0] > 0, tb,
+        (i_max, best_k, jnp.zeros((_SUB, 1), jnp.int32),
+         jnp.zeros((_SUB, 128), jnp.int32)),
     )
-    cost_ref[pid] = cost
-    len_ref[pid] = ops_len
-    ts_ref[pid] = tstart
-    te_ref[pid] = tend
-    trace_out[0, 0, :] = trace[0, :]
+
+    cost = jnp.where(ok, best, jnp.where(m > 0, jnp.int32(-1), jnp.int32(0)))
+    ops_len = jnp.where(ok, m + ndel, 0)
+    tstart = jnp.where(ok, d0 + (k_fin - _KOFF), 0)
+    tend = jnp.where(ok, d0 + m + (best_k - _KOFF), 0)
+    NEG = jnp.int32(-(1 << 30))
+    for s in range(_SUB):
+        pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+        cost_ref[_SUB * pid + s] = pick(cost)
+        len_ref[_SUB * pid + s] = pick(ops_len)
+        ts_ref[_SUB * pid + s] = pick(tstart)
+        te_ref[_SUB * pid + s] = pick(tend)
+    trace_out[0, :, :] = trace[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
 def _align_padded(d0, q_len, t_len, max_cost, tpad, queries,
                   m_pad: int, interpret: bool = False):
-    P = queries.shape[0]
-    grid = (P,)
+    PB = tpad.shape[0]           # number of 8-pair blocks
+    grid = (PB,)
     scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # whole array
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             scalar(), scalar(), scalar(), scalar(),
-            pl.BlockSpec((1, 1, m_pad + 2 * _W2), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, _SUB, m_pad + 2 * _W2), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_pad), lambda p: (p, 0, 0),
-                         memory_space=pltpu.VMEM),   # int32: scalar loads ok
+            pl.BlockSpec((1, _SUB, m_pad), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             scalar(), scalar(), scalar(), scalar(),
-            pl.BlockSpec((1, 1, m_pad), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, _SUB, m_pad), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((P, 1, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB,), jnp.int32),
+            jax.ShapeDtypeStruct((PB, _SUB, m_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m_pad + 8, _W2), jnp.uint8),
-            pltpu.VMEM((1, m_pad), jnp.int32),
+            pltpu.VMEM((m_pad + 8, _W2), jnp.int32),
+            pltpu.VMEM((_SUB, m_pad), jnp.int32),
         ],
         interpret=interpret,
     )(d0, q_len, t_len, max_cost, tpad, queries)
@@ -216,7 +247,8 @@ def banded_align_batch_tpu(
     """Drop-in equivalent of ops.align.banded_align_batch on the TPU.
 
     ``band`` is fixed by the kernel at [-128, +127] around d0; the argument
-    is accepted for interface parity and must be <= 128.
+    is accepted for interface parity and must be <= 128. Queries longer than
+    M_PAD_MAX are not supported (route those to the C++ engine).
     """
     assert band <= _KOFF, "TPU kernel band is fixed at 128"
     P = len(q_len)
@@ -226,30 +258,36 @@ def banded_align_batch_tpu(
                            np.zeros(0, np.uint8), z.copy(), z.copy())
 
     m_pad = 1 << max(9, int(np.max(q_len) - 1).bit_length())
-    p_pad = 1 << max(5, int(P - 1).bit_length()) if batch_pad else P
-    cap = _ops_cap(m_pad)
+    if m_pad > M_PAD_MAX:
+        raise ValueError(f"query length {np.max(q_len)} exceeds TPU kernel "
+                         f"limit {M_PAD_MAX}")
+    blocks = max(1, -(-P // _SUB))
+    if batch_pad:
+        blocks = 1 << max(2, int(blocks - 1).bit_length())
+    p_pad = blocks * _SUB
 
-    tpad = np.zeros((p_pad, 1, m_pad + 2 * _W2), dtype=np.uint8)
+    tpad = np.zeros((blocks, _SUB, m_pad + 2 * _W2), dtype=np.uint8)
     tpad[:] = 0xFF
-    qbuf = np.zeros((p_pad, 1, m_pad), dtype=np.int32)
+    qbuf = np.zeros((blocks, _SUB, m_pad), dtype=np.int32)
     d0a = np.zeros(p_pad, np.int32)
     qla = np.zeros(p_pad, np.int32)
     tla = np.zeros(p_pad, np.int32)
     mca = np.zeros(p_pad, np.int32)
     for p in range(P):
-        m = int(q_len[p])
-        n = int(t_len[p])
-        qbuf[p, 0, :m] = queries_flat[q_off[p]: q_off[p] + m]
+        b, s = divmod(p, _SUB)
+        mm = int(q_len[p])
+        nn = int(t_len[p])
+        qbuf[b, s, :mm] = queries_flat[q_off[p]: q_off[p] + mm]
         # tpad[x] = t[x + d0 - (_KOFF+1)], clipped to [0, n)
         lo = int(d0[p]) - (_KOFF + 1)
-        s = max(0, -lo)
-        e = min(m_pad + 2 * _W2, n - lo)
-        if e > s:
-            tpad[p, 0, s:e] = targets_flat[t_off[p] + lo + s: t_off[p] + lo + e]
+        st = max(0, -lo)
+        e = min(m_pad + 2 * _W2, nn - lo)
+        if e > st:
+            tpad[b, s, st:e] = targets_flat[t_off[p] + lo + st: t_off[p] + lo + e]
         d0a[p] = d0[p]
-        qla[p] = m
-        tla[p] = n
-        mca[p] = m * max_cost_per_kb // 1000 + 8
+        qla[p] = mm
+        tla[p] = nn
+        mca[p] = mm * max_cost_per_kb // 1000 + 8
 
     cost, ops_len, ts, te, trace = _align_padded(
         d0a, qla, tla, mca, tpad, qbuf, m_pad=m_pad, interpret=interpret
@@ -258,19 +296,20 @@ def banded_align_batch_tpu(
     ops_len = np.asarray(ops_len)[:P].astype(np.int64)
     ts = np.asarray(ts)[:P].astype(np.int64)
     te = np.asarray(te)[:P].astype(np.int64)
-    trace = np.asarray(trace)[:P, 0]
+    trace = np.asarray(trace).reshape(p_pad, m_pad)[:P]
 
     bad = cost < 0
     ops_len[bad] = 0
     ts[bad] = 0
     te[bad] = 0
+    cap = m_pad + m_pad // 2 + 128
     out_flat = np.zeros(P * cap, dtype=np.uint8)
     ops_off = np.arange(P, dtype=np.int64) * cap
     for p in range(P):
         if cost[p] < 0 or q_len[p] == 0:
             continue
-        m = int(q_len[p])
-        row = trace[p, :m].astype(np.int64)
+        mm = int(q_len[p])
+        row = trace[p, :mm].astype(np.int64)
         dels = row & 0xFFFF
         optype = (row >> 16) & 3
         mbit = (row >> 18) & 1
@@ -278,7 +317,7 @@ def banded_align_batch_tpu(
             optype == 1, np.uint8(ord("i")),
             np.where(mbit == 1, np.uint8(ord("=")), np.uint8(ord("s"))),
         )
-        L = int(m + dels.sum())
+        L = int(mm + dels.sum())
         assert L == ops_len[p], (L, ops_len[p])
         seg = np.full(L, ord("d"), dtype=np.uint8)
         lens = 1 + dels
