@@ -167,6 +167,195 @@ class _ContigState:
         self.anchors[rid] = (h[keep], q2t[p][keep], f[keep])
 
 
+def _polish_contig(state: _ContigState, store) -> None:
+    """Majority-vote substitution polish of the consensus (one pass).
+
+    The mosaic consensus keeps the seed read's bases in the interior, so
+    every member pays an 's' edit wherever the seed erred (~error-rate of
+    the seed, at full coverage). The reference fixes this with weighted
+    heaviest-path recompute (src/ConsensusGraph.cpp:559-615
+    calculateMainPathGreedy); here the same effect is a vectorized pileup
+    vote. Substitution-only polish is purely mechanical on the op tapes:
+    'd' consumes no base and literals are re-extracted from the query codes
+    downstream (ops_to_edit_scripts), so changing consensus column c from X
+    to Y just flips members' ops at c between '=' and 's' — no re-alignment.
+    """
+    members = state.members
+    if len(members) < 3:
+        return
+    L = len(state.cons)
+    votes = np.zeros((L, 4), dtype=np.int32)
+    per_member = []  # (ops_idx_of_base_ops, tcols, bases)
+    for m in members:
+        ops = m.ops
+        consumes_t = ops != ord("i")
+        tcol = (m.tstart - state.lo) + np.cumsum(consumes_t) - consumes_t
+        consumes_q = ops != ord("d")
+        qpos = np.cumsum(consumes_q) - consumes_q
+        codes = _orient_codes(store.get_codes(m.rid), m.strand)
+        has_base = consumes_t & consumes_q          # '=' or 's'
+        cols = tcol[has_base]
+        bases = codes[qpos[has_base]]
+        np.add.at(votes, (cols, bases), 1)
+        per_member.append((has_base, cols, bases))
+
+    best = np.argmax(votes, axis=1).astype(np.uint8)
+    old = state.cons
+    maxv = votes[np.arange(L), best]
+    oldv = votes[np.arange(L), old]
+    new = np.where((maxv > oldv), best, old)        # ties keep the old base
+    if not (new != old).any():
+        return
+    state.cons = new.astype(np.uint8)
+    for m, (has_base, cols, bases) in zip(members, per_member):
+        newop = np.where(bases == new[cols], np.uint8(ord("=")), np.uint8(ord("s")))
+        m.ops[has_base] = newop
+
+
+def _member_tape(state: _ContigState, store, m: _Member):
+    """Per-op (target column, query pos, codes) arrays for one member."""
+    ops = m.ops
+    consumes_t = ops != ord("i")
+    tcol = (m.tstart - state.lo) + np.cumsum(consumes_t) - consumes_t
+    consumes_q = ops != ord("d")
+    qpos = np.cumsum(consumes_q) - consumes_q
+    codes = _orient_codes(store.get_codes(m.rid), m.strand)
+    return ops, consumes_t, tcol, consumes_q, qpos, codes
+
+
+def _polish_indels(state: _ContigState, store) -> None:
+    """Column-voting indel polish (one pass each of deletions, insertions).
+
+    Seed-read indel errors survive in the consensus: every member pays a
+    'd' at a spurious column and an 'i' at a missing one (the reference
+    heals these through its weighted DAG re-extension,
+    src/ConsensusGraph.cpp:559-615). Both fixes are mechanical op rewrites:
+
+    - delete column c (majority 'd' there): members' 'd' ops at c vanish;
+      members with a base there keep it as an 'i' (literals re-extracted
+      from query codes downstream).
+    - insert base b at gap g (majority of spanning members carry a first
+      'i' of base b there): those 'i' ops flip to '='; other spanning
+      members gain a 'd'.
+    """
+    members = state.members
+    if len(members) < 3:
+        return
+
+    # --- deletions ---------------------------------------------------------
+    L = len(state.cons)
+    del_votes = np.zeros(L + 1, np.int64)
+    base_votes = np.zeros(L + 1, np.int64)
+    for m in members:
+        ops, consumes_t, tcol, consumes_q, qpos, codes = _member_tape(state, store, m)
+        isd = ops == ord("d")
+        np.add.at(del_votes, tcol[isd], 1)
+        np.add.at(base_votes, tcol[consumes_t & consumes_q], 1)
+    delmask = del_votes[:L] > base_votes[:L]
+    if delmask.any():
+        ndel_before = np.cumsum(delmask) - delmask
+        for m in members:
+            ops = m.ops
+            consumes_t = ops != ord("i")
+            tcol = (m.tstart - state.lo) + np.cumsum(consumes_t) - consumes_t
+            at_del = consumes_t & delmask[np.minimum(tcol, L - 1)] & (tcol < L)
+            if not at_del.any():
+                ts_rel = m.tstart - state.lo
+                m.tstart = state.lo + ts_rel - int(ndel_before[min(ts_rel, L - 1)])
+                continue
+            drop = at_del & (ops == ord("d"))
+            to_i = at_del & (ops != ord("d"))
+            ops2 = ops.copy()
+            ops2[to_i] = ord("i")
+            m.ops = ops2[~drop]
+            ts_rel = m.tstart - state.lo
+            m.tstart = state.lo + ts_rel - int(ndel_before[min(ts_rel, L - 1)])
+        state.cons = state.cons[~delmask]
+
+    # --- insertions --------------------------------------------------------
+    L = len(state.cons)
+    iv = np.zeros((L + 1, 4), np.int64)
+    cov = np.zeros(L + 3, np.int64)
+    tapes = []
+    for m in members:
+        tape = _member_tape(state, store, m)
+        tapes.append(tape)
+        ops, consumes_t, tcol, consumes_q, qpos, codes = tape
+        n = len(ops)
+        if n == 0 or not consumes_t.any():
+            continue
+        isi = ~consumes_t
+        idx = np.arange(n)
+        first_c = int(np.argmax(consumes_t))
+        last_c = n - 1 - int(np.argmax(consumes_t[::-1]))
+        interior = isi & (idx > first_c) & (idx < last_c)
+        ii = np.flatnonzero(interior)
+        ts_rel = int(tcol[first_c])
+        te_rel = int(tcol[last_c]) + 1
+        cov[ts_rel + 1] += 1
+        cov[max(te_rel, ts_rel + 1)] -= 1
+        if len(ii):
+            gaps = tcol[ii]
+            bases = codes[qpos[ii]]
+            firstmask = np.ones(len(ii), bool)
+            firstmask[1:] = gaps[1:] != gaps[:-1]
+            np.add.at(iv, (gaps[firstmask], bases[firstmask]), 1)
+    cov = np.cumsum(cov)[: L + 1]
+    best_b = np.argmax(iv, axis=1)
+    best_v = iv[np.arange(L + 1), best_b]
+    insmask = best_v * 2 > np.maximum(cov, 1)
+    ins_gaps = np.flatnonzero(insmask)
+    if len(ins_gaps) == 0:
+        return
+    ins_base = best_b[ins_gaps].astype(np.uint8)
+    gap_newbase = np.full(L + 1, 255, np.uint8)
+    gap_newbase[ins_gaps] = ins_base
+    nins_leq = np.cumsum(insmask)          # inserted gaps with index <= c
+    for m, tape in zip(members, tapes):
+        ops, consumes_t, tcol, consumes_q, qpos, codes = tape
+        n = len(ops)
+        if n == 0 or not consumes_t.any():
+            continue
+        idx = np.arange(n)
+        first_c = int(np.argmax(consumes_t))
+        last_c = n - 1 - int(np.argmax(consumes_t[::-1]))
+        ts_rel = int(tcol[first_c])
+        te_rel = int(tcol[last_c]) + 1
+        isi = ~consumes_t
+        interior = isi & (idx > first_c) & (idx < last_c)
+        ii = np.flatnonzero(interior)
+        flip = np.zeros(n, bool)
+        matched_gap = np.zeros(L + 1, bool)
+        if len(ii):
+            gaps = tcol[ii]
+            firstmask = np.ones(len(ii), bool)
+            firstmask[1:] = gaps[1:] != gaps[:-1]
+            fi = ii[firstmask]
+            fgaps = tcol[fi]
+            fbase = codes[qpos[fi]]
+            hit = insmask[fgaps] & (fbase == gap_newbase[fgaps])
+            flip[fi[hit]] = True
+            matched_gap[fgaps[hit]] = True
+        ops2 = ops.copy()
+        ops2[flip] = ord("=")
+        # spanning gaps without a matching first-'i' gain a 'd' before the
+        # op that consumes column g
+        need_d = insmask.copy()
+        need_d[: ts_rel + 1] = False
+        need_d[te_rel:] = False
+        need_d &= ~matched_gap
+        dg = np.flatnonzero(need_d)
+        if len(dg):
+            # position: first op with consumes_t and tcol == g
+            pos = np.searchsorted(tcol[consumes_t], dg)
+            cons_idx = np.flatnonzero(consumes_t)
+            at = cons_idx[pos]
+            ops2 = np.insert(ops2, at, ord("d"))
+        m.ops = ops2
+        m.tstart = state.lo + ts_rel + int(nins_leq[ts_rel])
+    state.cons = np.insert(state.cons, ins_gaps, ins_base)
+
+
 def _emit_contig(state: _ContigState, store) -> dict:
     """Pack one finished contig into flat per-member arrays."""
     members = state.members
@@ -568,6 +757,13 @@ def build_contigs(
     for st in list(wf.states.values()):
         wf._finalize(st)
 
+    if cfg.polish_rounds > 0:
+        # substitutions -> indels -> substitutions: the second sub pass
+        # settles columns whose votes shifted when indel columns moved
+        for st in wf.done:
+            _polish_contig(st, store)
+            _polish_indels(st, store)
+            _polish_contig(st, store)
     contig_dicts = [_emit_contig(st, store) for st in wf.done]
     lone = np.flatnonzero(~claimed)
 
