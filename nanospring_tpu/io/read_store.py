@@ -166,6 +166,25 @@ class ReadStoreBuilder:
         self._lengths.append(lengths.astype(np.int64))
         self._num_reads += len(lengths)
 
+    def add_packed_batch(self, packed: np.ndarray, lengths: np.ndarray,
+                         exc_read: np.ndarray, exc_pos: np.ndarray,
+                         exc_byte: np.ndarray) -> None:
+        """Add a batch already 2-bit packed (from native/fastq.cpp).
+
+        ``exc_read`` is batch-local; exception positions are read-local.
+        """
+        if len(exc_read):
+            self._exc_read.append(exc_read + self._num_reads)
+            self._exc_pos.append(exc_pos)
+            self._exc_byte.append(exc_byte)
+        if self.low_mem:
+            self._file.write(packed.tobytes())
+            self._file_bytes += len(packed)
+        else:
+            self._packed_parts.append(packed)
+        self._lengths.append(lengths.astype(np.int64))
+        self._num_reads += len(lengths)
+
     def finish(self) -> ReadStore:
         lengths = (
             np.concatenate(self._lengths) if self._lengths else np.zeros(0, dtype=np.int64)
@@ -200,10 +219,83 @@ class ReadStoreBuilder:
             os.unlink(self._file_path)
 
 
-def load_fastq(path: str, low_mem: bool = False, work_dir: str = "/tmp") -> ReadStore:
-    from . import fastq
+def _iter_record_blocks(path: str, chunk_bytes: int = 64 << 20):
+    """Yield FASTQ text blocks cut at 4-line record boundaries."""
+    import gzip
 
+    opener = gzip.open if path.endswith(".gz") else open
+    carry = b""
+    with opener(path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            buf = carry + chunk
+            nlines = buf.count(b"\n")
+            keep = nlines - (nlines % 4)
+            if keep == 0:
+                carry = buf
+                continue
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            nl = np.flatnonzero(arr == ord("\n"))
+            cut = int(nl[keep - 1]) + 1
+            yield buf[:cut]
+            carry = buf[cut:]
+    if carry.strip():
+        yield carry
+
+
+def _pack_block_native(block: bytes):
+    """C++ scan+pack of one FASTQ text block (native/fastq.cpp)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    txt = np.frombuffer(block, dtype=np.uint8)
+    nr = ctypes.c_int64()
+    nb = ctypes.c_int64()
+    ne = ctypes.c_int64()
+    rc = lib.ns_fastq_scan(
+        txt.ctypes.data_as(u8p), ctypes.c_int64(len(txt)),
+        ctypes.byref(nr), ctypes.byref(nb), ctypes.byref(ne),
+    )
+    if rc != 0:
+        raise ValueError("malformed FASTQ: line count not a multiple of 4")
+    lengths = np.zeros(nr.value, dtype=np.int64)
+    exc_read = np.zeros(ne.value, dtype=np.int64)
+    exc_pos = np.zeros(ne.value, dtype=np.int64)
+    exc_byte = np.zeros(ne.value, dtype=np.uint8)
+    # packed size: sum of ceil(len/4) <= nbases/4 + nreads
+    packed = np.zeros(nb.value // 4 + nr.value, dtype=np.uint8)
+    lib.ns_fastq_pack(
+        txt.ctypes.data_as(u8p), ctypes.c_int64(len(txt)),
+        packed.ctypes.data_as(u8p), lengths.ctypes.data_as(i64p),
+        exc_read.ctypes.data_as(i64p), exc_pos.ctypes.data_as(i64p),
+        exc_byte.ctypes.data_as(u8p),
+    )
+    nbytes = int(((lengths + 3) // 4).sum())
+    return packed[:nbytes], lengths, exc_read, exc_pos, exc_byte
+
+
+def load_fastq(path: str, low_mem: bool = False, work_dir: str = "/tmp",
+               use_native: bool = True) -> ReadStore:
     b = ReadStoreBuilder(low_mem=low_mem, work_dir=work_dir)
-    for flat, lengths in fastq.iter_sequence_batches(path):
-        b.add_batch(flat, lengths)
+    if use_native:
+        try:
+            from .. import native
+
+            native.get_lib()
+        except Exception:
+            use_native = False
+    if use_native:
+        for block in _iter_record_blocks(path):
+            b.add_packed_batch(*_pack_block_native(block))
+    else:
+        from . import fastq
+
+        for flat, lengths in fastq.iter_sequence_batches(path):
+            b.add_batch(flat, lengths)
     return b.finish()

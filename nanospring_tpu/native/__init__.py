@@ -17,7 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
-_SOURCES = ["align.cpp", "codec.cpp"]
+_SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -67,5 +67,9 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_bsc_compress.argtypes = [u8p, i64, u8p]
             lib.ns_bsc_decompress.restype = i64
             lib.ns_bsc_decompress.argtypes = [u8p, i64, u8p]
+            lib.ns_fastq_scan.restype = i32
+            lib.ns_fastq_scan.argtypes = [u8p, i64, i64p, i64p, i64p]
+            lib.ns_fastq_pack.restype = None
+            lib.ns_fastq_pack.argtypes = [u8p, i64, u8p, i64p, i64p, i64p, u8p]
             _LIB = lib
     return _LIB

@@ -82,58 +82,60 @@ def _kernel(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
     prev0 = jnp.where((j0 >= 0) & (j0 <= n), jnp.int32(0), INF)
     dbuf0 = jnp.broadcast_to(jnp.int32(0x33333333), (_SUB, _W2))  # all dir=3
 
-    def row(carry):
-        i, prev, dbuf = carry
-        # row i needs tpad[:, i : i+256]; lane-dim dynamic loads must be
-        # 128-aligned, so load an aligned 512 window and rotate into place.
-        ib = pl.multiple_of(((i - 1) // 128) * 128, 128)
-        chunk = tpad_ref[0, :, pl.ds(ib, 2 * _W2)].astype(jnp.int32)
-        chunk = pltpu.roll(chunk, 2 * _W2 - (i - ib), axis=1)
-        tchar = chunk[:, :_W2]
-        # q[:, i-1] without a scalar VMEM load: aligned 128-lane chunk + mask
-        qb = pl.multiple_of(((i - 1) // 128) * 128, 128)
-        qchunk = q_ref[0, :, pl.ds(qb, 128)]
-        qc = jnp.max(
-            jnp.where(lane128 == (i - 1 - qb), qchunk, jnp.int32(-1)),
-            axis=1, keepdims=True,
-        )
-        j = d0 + i + (k - _KOFF)
-        jvalid = (j >= 0) & (j <= n)
-        dvalid = (j >= 1) & (j <= n)
-        match = tchar == qc
-        diag = jnp.where(
-            dvalid & (prev < INF),
-            prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
-            INF,
-        )
-        up = pltpu.roll(prev, _W2 - 1, axis=1)       # up[k] = prev[k+1]
-        up = jnp.where((k < _W2 - 1) & (up < INF), up + 1, INF)
-        base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
-        # left-move chains: prefix-min over (base - k), then + k
-        x = base - k
-        for sh in (1, 2, 4, 8, 16, 32, 64, 128):
-            shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
-            x = jnp.minimum(x, shifted)
-        cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
-        # direction | match<<2: diag ties beat up; left only if strictly less
-        d = jnp.where(
-            cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
-            jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
-        )
-        d = jnp.where(cur >= INF, jnp.int32(3), d)
-        cur = jnp.where(i <= m, cur, prev)           # freeze finished pairs
-        # pack the 8 pairs' 3-bit codes into one int32 row (4 bits per pair)
-        packed = jnp.sum(d << (4 * sub), axis=0, keepdims=True)
-        dbuf = jnp.where(sub256 == (i % 8), jnp.broadcast_to(packed, (_SUB, _W2)), dbuf)
-        # dynamic sublane stores must be 8-aligned: flush the group
-        @pl.when((i % 8 == 7) | (i == i_max))
-        def _():
-            base_row = pl.multiple_of((i // 8) * 8, 8)
-            dirs[pl.ds(base_row, 8), :] = dbuf
-        return i + 1, cur, dbuf
+    def row_group(carry):
+        # 8 DP rows per iteration (statically unrolled): one aligned load +
+        # one dynamic rotate per group, static 256-lane slices per sub-row.
+        i0, prev, _dbuf_prev = carry
+        ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
+        rot0 = i0 - ib
+        tch = tpad_ref[0, :, pl.ds(ib, 2 * _W2)].astype(jnp.int32)
+        trot = pltpu.roll(tch, 2 * _W2 - rot0, axis=1)   # trot[l]=tch[l+rot0]
+        qch = q_ref[0, :, pl.ds(ib, _W2)]
+        qrot = pltpu.roll(qch, _W2 - (rot0 - 1) % _W2, axis=1)
+        dbuf = dbuf0
+        for r in range(8):
+            i = i0 + r
+            tchar = trot[:, r: r + _W2]                  # tpad[:, i : i+256]
+            qc = qrot[:, r: r + 1]                       # q[:, i-1]
+            j = d0 + i + (k - _KOFF)
+            jvalid = (j >= 0) & (j <= n)
+            dvalid = (j >= 1) & (j <= n)
+            match = tchar == qc
+            diag = jnp.where(
+                dvalid & (prev < INF),
+                prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+                INF,
+            )
+            up = pltpu.roll(prev, _W2 - 1, axis=1)       # up[k] = prev[k+1]
+            up = jnp.where((k < _W2 - 1) & (up < INF), up + 1, INF)
+            base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+            # left-move chains: prefix-min over (base - k), then + k
+            x = base - k
+            for sh in (1, 2, 4, 8, 16, 32, 64, 128):
+                shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
+                x = jnp.minimum(x, shifted)
+            cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+            # direction|match<<2: diag ties beat up; left only if strictly <
+            d = jnp.where(
+                cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
+                jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+            )
+            d = jnp.where(cur >= INF, jnp.int32(3), d)
+            live = (i >= 1) & (i <= m)
+            prev = jnp.where(live, cur, prev)            # freeze done pairs
+            # pack the 8 pairs' 3-bit codes into one int32 row (4 b/pair)
+            packed = jnp.sum(d << (4 * sub), axis=0, keepdims=True)
+            rowlive = (i >= 1) & (i <= i_max)
+            dbuf = jnp.where(
+                (sub256 == r) & rowlive,
+                jnp.broadcast_to(packed, (_SUB, _W2)), dbuf,
+            )
+        base_row = pl.multiple_of(i0, 8)
+        dirs[pl.ds(base_row, 8), :] = dbuf
+        return i0 + 8, prev, dbuf
 
     _i, prev, _dbuf = jax.lax.while_loop(
-        lambda c: c[0] <= i_max, row, (jnp.int32(1), prev0, dbuf0)
+        lambda c: c[0] <= i_max, row_group, (jnp.int32(0), prev0, dbuf0)
     )
 
     jm = d0 + m + (k - _KOFF)
@@ -145,45 +147,49 @@ def _kernel(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
     )
     ok = (best <= maxc) & (m > 0)
 
-    m_cap = trace.shape[1]
-
-    def tb(carry):
-        i, kk, ndel, strip = carry
-        active = (i <= m) & ok
-        base_row = pl.multiple_of((i // 8) * 8, 8)
+    def tb_group(carry):
+        # 8 traceback rows per iteration: one aligned dirs load per group,
+        # static sublane slices per sub-row (descending).
+        g0, kk, ndel, strip = carry
+        base_row = pl.multiple_of(g0, 8)
         blk = dirs[pl.ds(base_row, 8), :]
-        rowp = jnp.max(
-            jnp.where(sub256 == (i % 8), blk, jnp.int32(-1)),
-            axis=0, keepdims=True,
-        )
-        row_d = (jnp.broadcast_to(rowp, (_SUB, _W2)) >> (4 * sub)) & 7
-        opb = row_d & 3
-        nd_mask = (opb != 2) & (k <= kk)
-        kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)), axis=1, keepdims=True)
-        dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
-                       axis=1, keepdims=True)
-        optype = dval & 3
-        mbit = dval >> 2
-        dels = kk - kp
-        packed = dels + (optype << 16) + (mbit << 18)
-        strip = jnp.where((lane128 == ((i - 1) % 128)) & active, packed, strip)
-        flush = (i - 1) % 128 == 0
+        for r in range(7, -1, -1):
+            i = g0 + r
+            active = (i >= 1) & (i <= m) & ok
+            rowp = blk[r: r + 1, :]
+            row_d = (jnp.broadcast_to(rowp, (_SUB, _W2)) >> (4 * sub)) & 7
+            opb = row_d & 3
+            nd_mask = (opb != 2) & (k <= kk)
+            kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                         axis=1, keepdims=True)
+            dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                           axis=1, keepdims=True)
+            optype = dval & 3
+            mbit = dval >> 2
+            dels = kk - kp
+            packed = dels + (optype << 16) + (mbit << 18)
+            strip = jnp.where(
+                (lane128 == ((i - 1) % 128)) & active, packed, strip
+            )
+            flush = ((i - 1) % 128 == 0) & (i >= 1)
 
-        @pl.when(flush)
-        def _():
-            soff = pl.multiple_of(i - 1, 128)
-            trace[:, pl.ds(soff, 128)] = strip
+            @pl.when(flush)
+            def _(strip=strip, i=i):
+                soff = pl.multiple_of(i - 1, 128)
+                trace[:, pl.ds(soff, 128)] = strip
 
-        strip = jnp.where(flush, jnp.int32(0), strip)
-        kk = jnp.where(active,
-                       kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
-                       kk)
-        ndel = ndel + jnp.where(active, dels, jnp.int32(0))
-        return i - 1, kk, ndel, strip
+            strip = jnp.where(flush, jnp.int32(0), strip)
+            kk = jnp.where(
+                active,
+                kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+                kk,
+            )
+            ndel = ndel + jnp.where(active, dels, jnp.int32(0))
+        return g0 - 8, kk, ndel, strip
 
-    _i2, k_fin, ndel, _strip = jax.lax.while_loop(
-        lambda c: c[0] > 0, tb,
-        (i_max, best_k, jnp.zeros((_SUB, 1), jnp.int32),
+    _g, k_fin, ndel, _strip = jax.lax.while_loop(
+        lambda c: c[0] >= 0, tb_group,
+        ((i_max // 8) * 8, best_k, jnp.zeros((_SUB, 1), jnp.int32),
          jnp.zeros((_SUB, 128), jnp.int32)),
     )
 
@@ -214,7 +220,7 @@ def _align_padded(d0, q_len, t_len, max_cost, tpad, queries,
             scalar(), scalar(), scalar(), scalar(),
             pl.BlockSpec((1, _SUB, m_pad + 2 * _W2), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, m_pad), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, _SUB, m_pad + _W2), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -268,7 +274,7 @@ def banded_align_batch_tpu(
 
     tpad = np.zeros((blocks, _SUB, m_pad + 2 * _W2), dtype=np.uint8)
     tpad[:] = 0xFF
-    qbuf = np.zeros((blocks, _SUB, m_pad), dtype=np.int32)
+    qbuf = np.zeros((blocks, _SUB, m_pad + _W2), dtype=np.int32)
     d0a = np.zeros(p_pad, np.int32)
     qla = np.zeros(p_pad, np.int32)
     tla = np.zeros(p_pad, np.int32)
