@@ -160,6 +160,113 @@ def replay_contig_reads(
     return out, out_len
 
 
+def _decompress_bounded(
+    out_path, cfg, timer, budget_bases, num_reads,
+    genome_flat, genome_offsets, contig_of_member, reads_per_contig,
+    member_ids, lone_ids, start, head, tail, n_edits, runs_flat,
+    types_all, bases_stream, strand, lone_flat, lone_lens,
+    exc_read, exc_pos, exc_byte,
+) -> int:
+    """Memory-bounded replay + multi-pass external reorder.
+
+    The reference regenerates reads into temp bitset files and then restores
+    original order in passes sized by --decompression-memory
+    (reference: src/Decompressor.cpp:105-172,186-235). Same structure here:
+    contig-chunked replay spills sequences to one temp file; ordered output
+    is produced in read-id passes whose total bases fit the budget.
+    """
+    import os
+    import tempfile
+
+    E = n_edits.astype(np.int64)
+    run_offs = _excl_cumsum(E + 1)
+    type_offs = _excl_cumsum(E)
+    # literal bytes per member: head + tail + one per 's'/'i' edit
+    is_si = (types_all == ord("s")) | (types_all == ord("i"))
+    si_per = np.zeros(len(E), dtype=np.int64)
+    np.add.at(si_per, np.repeat(np.arange(len(E)), E), is_si.astype(np.int64))
+    lit_per = head + tail + si_per
+    lit_offs = _excl_cumsum(lit_per)
+
+    spill = tempfile.NamedTemporaryFile(
+        dir=cfg.resolved_work_root(), prefix="nstpu_reorder_", delete=False
+    )
+    spill_off = np.zeros(num_reads, dtype=np.int64)
+    final_lens = np.zeros(num_reads, dtype=np.int64)
+    M = len(member_ids)
+    contig_end_member = np.cumsum(reads_per_contig)
+
+    # per-member output-size estimate: copy runs + one base per edit + ins
+    seg_runs = np.add.reduceat(runs_flat, run_offs) if M else np.zeros(0, np.int64)
+    est = head + tail + E + seg_runs
+    cum_est = np.concatenate([[0], np.cumsum(est)])
+
+    with timer.stage("replay_spill"):
+        pos = 0
+        mlo = 0
+        while mlo < M:
+            # take whole contigs until the chunk replay budget is reached
+            ci = int(np.searchsorted(contig_end_member, mlo, side="right"))
+            mhi = mlo
+            while mhi < M:
+                nxt = int(contig_end_member[ci])
+                if mhi > mlo and cum_est[nxt] - cum_est[mlo] > budget_bases // 2:
+                    break
+                mhi = nxt
+                ci += 1
+            sl = slice(mlo, mhi)
+            seq, lens = replay_contig_reads(
+                genome_flat, genome_offsets, contig_of_member[sl],
+                start[sl], head[sl], tail[sl], n_edits[sl],
+                runs_flat[run_offs[mlo]: run_offs[mhi]] if mhi < M
+                else runs_flat[run_offs[mlo]:],
+                types_all[type_offs[mlo]: type_offs[mhi]] if mhi < M
+                else types_all[type_offs[mlo]:],
+                bases_stream[lit_offs[mlo]: lit_offs[mhi]] if mhi < M
+                else bases_stream[lit_offs[mlo]:],
+                strand[sl],
+            )
+            spill.write(seq.tobytes())
+            offs = pos + _excl_cumsum(lens)
+            spill_off[member_ids[sl]] = offs
+            final_lens[member_ids[sl]] = lens
+            pos += int(lens.sum())
+            mlo = mhi
+        # lone reads appended to the same spill
+        spill.write(lone_flat.tobytes())
+        spill_off[lone_ids] = pos + _excl_cumsum(lone_lens)
+        final_lens[lone_ids] = lone_lens
+        spill.flush()
+
+    total = int(final_lens.sum())
+    with timer.stage("reorder_passes"):
+        mm = np.memmap(spill.name, dtype=np.uint8, mode="r") if total else \
+            np.zeros(0, np.uint8)
+        final_offs = _excl_cumsum(final_lens)
+        with open(out_path, "wb") as f:
+            lo = 0
+            while lo < num_reads:
+                # widen the pass until its bases exceed the budget
+                cum = np.cumsum(final_lens[lo:])
+                hi = lo + int(np.searchsorted(cum, budget_bases)) + 1
+                hi = min(hi, num_reads)
+                lens = final_lens[lo:hi]
+                blk = np.full(int(lens.sum()) + len(lens), ord("\n"), np.uint8)
+                boffs = _excl_cumsum(lens + 1)
+                src = _expand_gather(spill_off[lo:hi], lens)
+                blk[_expand_gather(boffs, lens)] = mm[src]
+                # restore non-ACGT bytes for reads in this pass
+                esel = (exc_read >= lo) & (exc_read < hi)
+                if esel.any():
+                    er = exc_read[esel] - lo
+                    blk[boffs[er] + exc_pos[esel]] = exc_byte[esel]
+                f.write(blk.tobytes())
+                lo = hi
+        del mm
+    os.unlink(spill.name)
+    return total
+
+
 def _split_lines(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Newline-separated buffer -> (flat content, line lengths)."""
     if len(buf) == 0:
@@ -219,42 +326,55 @@ def decompress_file(
         strand = (comp_flat == ord("c")).astype(np.uint8)
         assert len(strand) == M, "complement stream read-count mismatch"
 
-    with timer.stage("replay"):
-        member_seq, member_lens = replay_contig_reads(
-            genome_flat, genome_offsets, contig_of_member, start, head, tail,
-            n_edits, runs_flat, types_all, streams.get("base", np.zeros(0, np.uint8)),
-            strand,
+    budget_bases = int(cfg.memory_gb * 1e9) // 2  # replay + reorder buffers
+    lone_flat, lone_lens = _split_lines(streams.get("lone", np.zeros(0, np.uint8)))
+    exc_read, exc_pos, exc_byte = st.decode_exc_stream(
+        streams.get("exc", np.zeros(0, np.uint8))
+    )
+    total_est = int(meta.get("total_bases", 0)) or (
+        int(genome_lens.sum()) * 4 + int(lone_lens.sum())
+    )
+
+    if total_est <= budget_bases:
+        with timer.stage("replay"):
+            member_seq, member_lens = replay_contig_reads(
+                genome_flat, genome_offsets, contig_of_member, start, head, tail,
+                n_edits, runs_flat, types_all,
+                streams.get("base", np.zeros(0, np.uint8)), strand,
+            )
+
+        with timer.stage("reorder"):
+            # final lengths and offsets keyed by original read id
+            final_lens = np.zeros(num_reads, dtype=np.int64)
+            final_lens[member_ids] = member_lens
+            final_lens[lone_ids] = lone_lens
+            final_offs = _excl_cumsum(final_lens)
+            total = int(final_lens.sum())
+            out_buf = np.empty(total, dtype=np.uint8)
+            out_buf[_expand_gather(final_offs[member_ids], member_lens)] = member_seq
+            out_buf[_expand_gather(final_offs[lone_ids], lone_lens)] = lone_flat
+            # non-ACGT exception restoration (our lossless-exactness addition)
+            if len(exc_read):
+                out_buf[final_offs[exc_read] + exc_pos] = exc_byte
+
+        with timer.stage("write"):
+            with open(out_path, "wb") as f:
+                chunk = 1 << 20  # reads per write block
+                for i in range(0, num_reads, chunk):
+                    lens = final_lens[i : i + chunk]
+                    offs = final_offs[i : i + chunk]
+                    blk = np.full(int(lens.sum()) + len(lens), ord("\n"), dtype=np.uint8)
+                    boffs = _excl_cumsum(lens + 1)
+                    blk[_expand_gather(boffs, lens)] = out_buf[_expand_gather(offs, lens)]
+                    f.write(blk.tobytes())
+    else:
+        total = _decompress_bounded(
+            out_path, cfg, timer, budget_bases, num_reads,
+            genome_flat, genome_offsets, contig_of_member, reads_per_contig,
+            member_ids, lone_ids, start, head, tail, n_edits, runs_flat,
+            types_all, streams.get("base", np.zeros(0, np.uint8)), strand,
+            lone_flat, lone_lens, exc_read, exc_pos, exc_byte,
         )
-
-    with timer.stage("reorder"):
-        lone_flat, lone_lens = _split_lines(streams.get("lone", np.zeros(0, np.uint8)))
-        # final lengths and offsets keyed by original read id
-        final_lens = np.zeros(num_reads, dtype=np.int64)
-        final_lens[member_ids] = member_lens
-        final_lens[lone_ids] = lone_lens
-        final_offs = _excl_cumsum(final_lens)
-        total = int(final_lens.sum())
-        out_buf = np.empty(total, dtype=np.uint8)
-        out_buf[_expand_gather(final_offs[member_ids], member_lens)] = member_seq
-        out_buf[_expand_gather(final_offs[lone_ids], lone_lens)] = lone_flat
-
-        # non-ACGT exception restoration (our lossless-exactness addition)
-        exc_read, exc_pos, exc_byte = st.decode_exc_stream(
-            streams.get("exc", np.zeros(0, np.uint8))
-        )
-        if len(exc_read):
-            out_buf[final_offs[exc_read] + exc_pos] = exc_byte
-
-    with timer.stage("write"):
-        with open(out_path, "wb") as f:
-            chunk = 1 << 20  # reads per write block
-            for i in range(0, num_reads, chunk):
-                lens = final_lens[i : i + chunk]
-                offs = final_offs[i : i + chunk]
-                blk = np.full(int(lens.sum()) + len(lens), ord("\n"), dtype=np.uint8)
-                boffs = _excl_cumsum(lens + 1)
-                blk[_expand_gather(boffs, lens)] = out_buf[_expand_gather(offs, lens)]
-                f.write(blk.tobytes())
 
     return {
         "num_reads": num_reads,
