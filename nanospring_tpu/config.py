@@ -47,6 +47,9 @@ class CompressConfig:
 
     # --- pipeline selection ---
     disable_assembly: bool = False     # True: every read stored lone (testing)
+    aligner: str = "auto"              # "native" (C++), "tpu" (Pallas kernel);
+                                       # "auto" = native (host cores beat one
+                                       # tunneled chip; see contigs._align)
 
     # --- resources ---
     num_threads: int = 0               # 0 = os.cpu_count(); host-side pools

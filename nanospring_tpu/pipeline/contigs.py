@@ -45,6 +45,22 @@ from ..utils.observe import FunnelStats
 from . import candidates
 
 
+_TPU_ATTACHED: bool | None = None
+
+
+def _tpu_attached() -> bool:
+    """True when JAX's default backend is an accelerator (tpu/axon)."""
+    global _TPU_ATTACHED
+    if _TPU_ATTACHED is None:
+        try:
+            import jax
+
+            _TPU_ATTACHED = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _TPU_ATTACHED = False
+    return _TPU_ATTACHED
+
+
 @dataclasses.dataclass
 class _Member:
     rid: int
@@ -545,6 +561,36 @@ class _Wavefront:
 
     # -- frontier batch -----------------------------------------------------
 
+    def _align(self, tf, t_off, t_len, qf, q_off, q_len, d0) -> al.AlignResult:
+        """Dispatch one frontier batch to the TPU kernel or the C++ engine.
+
+        Both backends produce identical costs and replay-valid edit scripts
+        (tested against each other), so the choice is purely a throughput
+        decision per host/chip balance.
+        """
+        cfg = self.cfg
+        mode = cfg.aligner
+        if mode == "tpu":
+            # Measured on one v5e behind the axon tunnel: the Pallas kernel
+            # sustains ~1.3 Mb/s/chip vs ~3.5 Mb/s/core for native/align.cpp,
+            # so "auto" keeps alignment on host cores and gives the chip to
+            # the sketch kernel; flip to "tpu" on hosts where chips outnumber
+            # spare cores. Results are bit-identical either way.
+            from ..ops import align_tpu as at
+
+            if len(q_len) > 0 and int(np.max(q_len)) <= at.M_PAD_MAX \
+                    and cfg.band_width <= 128 and _tpu_attached():
+                return at.banded_align_batch_tpu(
+                    tf, t_off, t_len, qf, q_off, q_len, d0,
+                    band=cfg.band_width,
+                    max_cost_per_kb=int(cfg.max_edit_frac * 1000),
+                )
+        return al.banded_align_batch(
+            tf, t_off, t_len, qf, q_off, q_len, d0,
+            band=cfg.band_width,
+            max_cost_per_kb=int(cfg.max_edit_frac * 1000),
+        )
+
     def _forward_minimizers(self, rid: int, codes: np.ndarray):
         a = self._mz_cache.get(rid)
         if a is None:
@@ -619,12 +665,10 @@ class _Wavefront:
             np.cumsum(t_len[:-1], out=t_off[1:])
             q_off = np.zeros(len(batch), np.int64)
             np.cumsum(q_len[:-1], out=q_off[1:])
-            res = al.banded_align_batch(
+            res = self._align(
                 np.concatenate(t_parts), t_off, t_len,
                 np.concatenate(q_parts), q_off, q_len,
                 np.array([p.d0_win for p in batch], np.int64),
-                band=cfg.band_width,
-                max_cost_per_kb=int(cfg.max_edit_frac * 1000),
             )
             for bi, p in enumerate(batch):
                 self._apply(p, res, bi)
