@@ -24,3 +24,20 @@ Architecture (see SURVEY.md for the reference analysis this is built against):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_jax_compilation_cache() -> None:
+    """Persist XLA compilations across runs (kernel shapes recur)."""
+    import os
+
+    try:
+        import jax
+
+        d = os.environ.get(
+            "NSTPU_JAX_CACHE", os.path.expanduser("~/.cache/nstpu_jax")
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:
+        pass

@@ -29,6 +29,9 @@ def compress_file(
     report: bool = True,
 ) -> dict:
     cfg = cfg or CompressConfig()
+    from . import enable_jax_compilation_cache
+
+    enable_jax_compilation_cache()
     timer = StageTimer(report=report)
     stats = FunnelStats()
 

@@ -35,7 +35,7 @@ class ReadStore:
         exc_pos: np.ndarray,      # int64 position within read
         exc_byte: np.ndarray,     # uint8 original byte
     ):
-        self.packed = packed_buf
+        self.packed = np.asarray(packed_buf)
         self.offsets = offsets
         self.lengths = lengths
         self.exc_read = exc_read
@@ -63,7 +63,7 @@ class ReadStore:
         off = self.offsets[rid]
         ln = int(self.lengths[rid])
         nbytes = (ln + 3) // 4
-        return pk.unpack_codes(np.asarray(self.packed[off : off + nbytes]), ln)
+        return pk.unpack_codes(self.packed[off : off + nbytes], ln)
 
     def get_seq(self, rid: int) -> str:
         return pk.codes_to_seq(self.get_codes(rid))
@@ -85,7 +85,7 @@ class ReadStore:
         byte_idx = self.offsets[rids][:, None] + np.arange(nbytes, dtype=np.int64)[None, :]
         valid = np.arange(nbytes, dtype=np.int64)[None, :] < ((lens[:, None] + 3) // 4)
         byte_idx = np.where(valid, byte_idx, 0)
-        packed_rows = np.asarray(self.packed)[byte_idx]  # (B, nbytes) uint8
+        packed_rows = self.packed[byte_idx]  # (B, nbytes) uint8
         codes = np.empty((B, nbytes * 4), dtype=np.uint8)
         codes[:, 0::4] = packed_rows & 3
         codes[:, 1::4] = (packed_rows >> 2) & 3

@@ -30,6 +30,8 @@ constexpr int32_t INF = 0x3FFFFFFF;
 struct Scratch {
     std::vector<int32_t> row0, row1;
     std::vector<uint8_t> dirs;  // (m+1) x (2W+1), 0=diag,1=up,2=left,3=start
+    std::vector<uint8_t> tpad;  // diagonal-shifted target slice + sentinels
+    std::vector<int32_t> va, vb;  // prefix-min ping-pong buffers
 };
 
 thread_local Scratch g_scratch;
@@ -50,9 +52,22 @@ int32_t ns_banded_align(
 {
     const int64_t width = 2 * (int64_t)W + 1;
     Scratch& s = g_scratch;
-    s.row0.assign(width, INF);
-    s.row1.assign(width, INF);
+    s.row0.assign(width + 1, INF);   // +1: INF sentinel for up at k=width-1
+    s.row1.assign(width + 1, INF);
     s.dirs.assign((size_t)(m + 1) * width, 3);
+    // tpad[x] = target[x + d0 - W - 1], 0xFF sentinel outside: row i's
+    // diag chars are the contiguous slice tpad[i .. i+width) (no per-cell
+    // bounds checks; boundary validity is handled by the klo/khi clip).
+    s.tpad.assign((size_t)(m + width + 1), 0xFF);
+    s.va.resize(width);
+    s.vb.resize(width);
+    {
+        int64_t lo = d0 - W - 1;
+        int64_t b = lo < 0 ? -lo : 0;
+        int64_t e = (int64_t)s.tpad.size();
+        if (lo + e > n) e = n - lo;
+        if (e > b) std::memcpy(s.tpad.data() + b, target + lo + b, (size_t)(e - b));
+    }
 
     // row 0: start anywhere in target within the band (j = d0 - W + k)
     for (int64_t k = 0; k < width; ++k) {
@@ -65,38 +80,64 @@ int32_t ns_banded_align(
     int32_t* cur = s.row1.data();
 
     for (int64_t i = 1; i <= m; ++i) {
-        uint8_t qc = query[i - 1];
+        const int32_t qc = query[i - 1];
         uint8_t* dir_row = s.dirs.data() + (size_t)i * width;
-        int32_t row_min = INF;
-        int64_t jbase = d0 + i - W;  // j for k=0 in this row
-        for (int64_t k = 0; k < width; ++k) {
-            int64_t j = jbase + k;
-            int32_t best = INF;
-            uint8_t d = 3;
-            if (j >= 0 && j <= n) {
-                // up / insertion: (i-1, j) -> slot k+1 in prev row
-                if (k + 1 < width && prev[k + 1] < INF) {
-                    int32_t c = prev[k + 1] + 1;
-                    if (c < best) { best = c; d = 1; }
-                }
-                if (j >= 1 && j <= n) {
-                    // diag: (i-1, j-1) -> same k in prev row
-                    if (prev[k] < INF) {
-                        int32_t c = prev[k] + (target[j - 1] == qc ? 0 : 1);
-                        if (c < best) { best = c; d = 0; }
-                    }
-                }
-                // left / deletion: (i, j-1) -> slot k-1, same row
-                if (k >= 1 && j >= 1 && cur[k - 1] < INF) {
-                    int32_t c = cur[k - 1] + 1;
-                    if (c < best) { best = c; d = 2; }
-                }
+        const uint8_t* trow = s.tpad.data() + i;   // diag char per slot
+        const int64_t jbase = d0 + i - W;          // j for k=0 in this row
+        // valid slots: j in [0, n] -> k in [klo, khi]
+        int64_t klo = jbase < 0 ? -jbase : 0;
+        int64_t khi = n - jbase;
+        if (khi > width - 1) khi = width - 1;
+        for (int64_t k = 0; k < klo; ++k) { cur[k] = INF; dir_row[k] = 3; }
+        for (int64_t k = khi + 1; k < width; ++k) { cur[k] = INF; dir_row[k] = 3; }
+        // vector pass (branch-free, auto-vectorizes): diag vs up.
+        // diag at j==0 (k==klo when jbase<0) is invalid; tpad sentinel 0xFF
+        // mismatches, but prev[k] there is INF-ish from the prior row clip,
+        // handled below by the explicit k==klo fix when j==0.
+        {
+            const int32_t* __restrict pv = prev;
+            int32_t* __restrict cv = cur;
+            uint8_t* __restrict dv = dir_row;
+            const uint8_t* __restrict tv = trow;
+            #pragma GCC ivdep
+            for (int64_t k = klo; k <= khi; ++k) {
+                int32_t diag = pv[k] + (int32_t)(tv[k] != qc);
+                int32_t up = pv[k + 1] + 1;
+                cv[k] = diag < up ? diag : up;        // tie keeps up
+                dv[k] = (uint8_t)(up <= diag);
             }
-            cur[k] = best;
-            dir_row[k] = d;
-            if (best < row_min) row_min = best;
         }
-        if (row_min > max_cost) return -1;
+        if (jbase + klo == 0) {
+            // j == 0: no diag (no target char); only up is legal
+            int32_t up = prev[klo + 1] + 1;
+            cur[klo] = up;
+            dir_row[klo] = 1;
+        }
+        // left-move chains as a prefix-min (no serial dependency):
+        // result[k] = k + min_{k'<=k}(cur[k'] - k'), via log2(width)
+        // shifted-min passes, each fully vectorizable.
+        {
+            const int64_t span = khi - klo + 1;
+            int32_t* __restrict a = s.va.data();
+            int32_t* __restrict b = s.vb.data();
+            for (int64_t k = 0; k < span; ++k)
+                a[k] = cur[klo + k] - (int32_t)k;
+            for (int64_t sh = 1; sh < span; sh <<= 1) {
+                for (int64_t k = span - 1; k >= sh; --k)
+                    b[k] = a[k] < a[k - sh] ? a[k] : a[k - sh];
+                for (int64_t k = 0; k < sh && k < span; ++k) b[k] = a[k];
+                std::swap(a, b);
+            }
+            int32_t row_min = INF;
+            for (int64_t k = 0; k < span; ++k) {
+                int32_t chained = a[k] + (int32_t)k;
+                int32_t c = cur[klo + k];
+                if (chained < c) { cur[klo + k] = chained; dir_row[klo + k] = 2; }
+                else chained = c;
+                if (chained < row_min) row_min = chained;
+            }
+            if (row_min > max_cost) return -1;
+        }
         std::swap(prev, cur);
     }
 

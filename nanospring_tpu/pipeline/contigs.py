@@ -96,6 +96,45 @@ def compute_all_sketches(store, cfg: CompressConfig, report: bool = False) -> np
     return out
 
 
+def repetitive_screen(store, cfg: CompressConfig) -> np.ndarray:
+    """Self-similar (repetitive) read mask, vectorized over padded batches.
+
+    The reference computes per-read Hamming self-similarity at offsets 1..6
+    and flags reads above 0.7 (checkRepetitive, src/Consensus.cpp:405-424);
+    repetitive reads are never seeded or claimed (:203-208) because their
+    sketches recruit spurious overlaps. Same screen here as shifted-equality
+    means over (B, Lpad) code matrices.
+    """
+    N = store.num_reads
+    rep = np.zeros(N, dtype=bool)
+    order = np.argsort(store.lengths, kind="stable")
+    maxoff = cfg.repetitive_offsets
+    thr = cfg.repetitive_threshold
+    i = 0
+    while i < N:
+        L0 = int(store.lengths[order[i]])
+        if L0 <= maxoff:
+            i += 1
+            continue
+        pad = 1 << max(8, (L0 - 1).bit_length())
+        j = i
+        while j < N and store.lengths[order[j]] <= pad and j - i < 4096:
+            j += 1
+        rids = order[i:j]
+        codes, lens = store.get_batch_padded(rids, pad_to=pad, fill=255)
+        best = np.zeros(len(rids))
+        pos = np.arange(pad, dtype=np.int64)
+        for off in range(1, maxoff + 1):
+            eq = codes[:, off:] == codes[:, :-off]
+            real = pos[None, : pad - off] < (lens - off)[:, None]
+            valid = np.maximum(lens - off, 1)
+            frac = (eq & real).sum(axis=1) / valid
+            best = np.maximum(best, frac)
+        rep[rids] = best > thr
+        i = j
+    return rep
+
+
 def _orient_codes(codes: np.ndarray, strand: int) -> np.ndarray:
     return pk.revcomp_codes(codes) if strand else codes
 
@@ -200,7 +239,7 @@ def _polish_contig(state: _ContigState, store) -> None:
     if len(members) < 3:
         return
     L = len(state.cons)
-    votes = np.zeros((L, 4), dtype=np.int32)
+    vote_keys = []
     per_member = []  # (ops_idx_of_base_ops, tcols, bases)
     for m in members:
         ops = m.ops
@@ -212,8 +251,11 @@ def _polish_contig(state: _ContigState, store) -> None:
         has_base = consumes_t & consumes_q          # '=' or 's'
         cols = tcol[has_base]
         bases = codes[qpos[has_base]]
-        np.add.at(votes, (cols, bases), 1)
+        vote_keys.append(cols * 4 + bases)
         per_member.append((has_base, cols, bases))
+    votes = np.bincount(
+        np.concatenate(vote_keys), minlength=L * 4
+    ).reshape(L, 4)
 
     best = np.argmax(votes, axis=1).astype(np.uint8)
     old = state.cons
@@ -260,13 +302,13 @@ def _polish_indels(state: _ContigState, store) -> None:
 
     # --- deletions ---------------------------------------------------------
     L = len(state.cons)
-    del_votes = np.zeros(L + 1, np.int64)
-    base_votes = np.zeros(L + 1, np.int64)
+    dv_keys, bv_keys = [], []
     for m in members:
         ops, consumes_t, tcol, consumes_q, qpos, codes = _member_tape(state, store, m)
-        isd = ops == ord("d")
-        np.add.at(del_votes, tcol[isd], 1)
-        np.add.at(base_votes, tcol[consumes_t & consumes_q], 1)
+        dv_keys.append(tcol[ops == ord("d")])
+        bv_keys.append(tcol[consumes_t & consumes_q])
+    del_votes = np.bincount(np.concatenate(dv_keys), minlength=L + 1)
+    base_votes = np.bincount(np.concatenate(bv_keys), minlength=L + 1)
     delmask = del_votes[:L] > base_votes[:L]
     if delmask.any():
         ndel_before = np.cumsum(delmask) - delmask
@@ -768,7 +810,15 @@ def build_contigs(
     comp_order = np.argsort(comp_of, kind="stable")
 
     claimed = np.zeros(N, dtype=bool)
-    wf = _Wavefront(store, cfg, stats, adj_off, dst, claimed, comp_of)
+    # repetitive reads are never seeded or claimed (they go lone), matching
+    # the reference's screen (src/Consensus.cpp:203-208,405-424); marking
+    # them claimed up front excludes them, and the lone set is computed from
+    # membership so they still round-trip.
+    rep = repetitive_screen(store, cfg)
+    stats.repetitive = int(rep.sum())
+    claimed_for_wf = claimed.copy()
+    claimed_for_wf[rep] = True
+    wf = _Wavefront(store, cfg, stats, adj_off, dst, claimed_for_wf, comp_of)
 
     import collections
 
@@ -809,7 +859,7 @@ def build_contigs(
             _polish_indels(st, store)
             _polish_contig(st, store)
     contig_dicts = [_emit_contig(st, store) for st in wf.done]
-    lone = np.flatnonzero(~claimed)
+    lone = np.flatnonzero(~claimed_for_wf | rep)
 
     # combine all contigs into one ContigBatch
     if contig_dicts:

@@ -66,6 +66,7 @@ class FunnelStats:
     minhash_hits: int = 0        # pairs passing the sketch-collision threshold
     not_claimed: int = 0         # of those, reads not yet claimed by a contig
     aligned_ok: int = 0          # of those, accepted by the aligner
+    repetitive: int = 0          # reads excluded by the self-similarity screen
     reads_in_contigs: int = 0
     lone_reads: int = 0
     contigs: int = 0
@@ -77,6 +78,7 @@ class FunnelStats:
     def report(self) -> str:
         return (
             f"funnel: minhash={self.minhash_hits} unclaimed={self.not_claimed} "
-            f"aligned={self.aligned_ok} | contigs={self.contigs} "
-            f"in_contigs={self.reads_in_contigs} lone={self.lone_reads}"
+            f"aligned={self.aligned_ok} repetitive={self.repetitive} | "
+            f"contigs={self.contigs} in_contigs={self.reads_in_contigs} "
+            f"lone={self.lone_reads}"
         )
