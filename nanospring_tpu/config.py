@@ -53,6 +53,9 @@ class CompressConfig:
 
     # --- resources ---
     num_threads: int = 0               # 0 = os.cpu_count(); host-side pools
+    pipeline_workers: int = 0          # contig-growth processes (0 = auto);
+                                       # components are disjoint, so workers
+                                       # (or hosts) need no coordination
     low_mem: bool = False              # disk-backed read store
     work_dir: str | None = None        # temp dir root (None -> system tmp)
 
@@ -63,6 +66,12 @@ class CompressConfig:
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)
+
+    def resolved_workers(self) -> int:
+        """Contig-growing worker processes (owner-computes over components)."""
+        if self.pipeline_workers:
+            return self.pipeline_workers
+        return min(self.resolved_threads(), os.cpu_count() or 1)
 
     def resolved_work_root(self) -> str:
         return self.work_dir or tempfile.gettempdir()

@@ -767,9 +767,10 @@ class _Wavefront:
             st.closed = True
 
 
-def build_contigs(
-    store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
-) -> tuple[list[ContigBatch], np.ndarray]:
+def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
+                           report: bool) -> dict:
+    """Sketch + hash-join + components + repetitive screen (the shared,
+    device-side half of the pipeline)."""
     N = store.num_reads
     sketches = compute_all_sketches(store, cfg, report)
     index = candidates.SketchIndex(sketches)
@@ -796,9 +797,10 @@ def build_contigs(
     adj_off = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(deg, out=adj_off[1:])
 
-    # overlap components of the pair graph; one growing contig per
-    # component at a time, all components concurrently (the cross-contig
-    # batch axis)
+    # overlap components of the pair graph: disjoint work units — the
+    # owner-computes partition that shards contig building across workers
+    # here and across hosts at scale (replaces the reference's shared
+    # inGraph[] + striped locks, src/Consensus.cpp:256-277,444-468)
     import scipy.sparse as sp
     from scipy.sparse import csgraph
 
@@ -808,24 +810,39 @@ def build_contigs(
     n_comp, comp_of = csgraph.connected_components(g, directed=False)
     comp_sizes = np.bincount(comp_of, minlength=n_comp)
     comp_order = np.argsort(comp_of, kind="stable")
-
-    claimed = np.zeros(N, dtype=bool)
-    # repetitive reads are never seeded or claimed (they go lone), matching
-    # the reference's screen (src/Consensus.cpp:203-208,405-424); marking
-    # them claimed up front excludes them, and the lone set is computed from
-    # membership so they still round-trip.
-    rep = repetitive_screen(store, cfg)
-    stats.repetitive = int(rep.sum())
-    claimed_for_wf = claimed.copy()
-    claimed_for_wf[rep] = True
-    wf = _Wavefront(store, cfg, stats, adj_off, dst, claimed_for_wf, comp_of)
-
-    import collections
-
     boundaries = np.zeros(n_comp + 1, dtype=np.int64)
     np.cumsum(comp_sizes, out=boundaries[1:])
+
+    rep = repetitive_screen(store, cfg)
+    stats.repetitive = int(rep.sum())
+    return {
+        "adj_off": adj_off, "dst": dst, "comp_of": comp_of,
+        "n_comp": n_comp, "comp_order": comp_order, "boundaries": boundaries,
+        "rep": rep,
+    }
+
+
+def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
+                     graph: dict, comp_subset) -> list[dict]:
+    """Grow + polish + emit contigs for a subset of components.
+
+    Components are disjoint in reads, so subsets run with zero coordination
+    (no locks, no shared claim table) — one subset per worker process here,
+    one per host in the multi-host layout.
+    """
+    import collections
+
+    N = store.num_reads
+    # repetitive reads are never seeded or claimed (they go lone), matching
+    # the reference's screen (src/Consensus.cpp:203-208,405-424)
+    claimed_for_wf = graph["rep"].copy()
+    wf = _Wavefront(store, cfg, stats, graph["adj_off"], graph["dst"],
+                    claimed_for_wf, graph["comp_of"])
+
+    comp_order = graph["comp_order"]
+    boundaries = graph["boundaries"]
     expand = collections.deque()
-    for comp in range(n_comp):
+    for comp in comp_subset:
         members = comp_order[boundaries[comp]: boundaries[comp + 1]]
         if len(members) < 2:
             continue
@@ -858,8 +875,78 @@ def build_contigs(
             _polish_contig(st, store)
             _polish_indels(st, store)
             _polish_contig(st, store)
-    contig_dicts = [_emit_contig(st, store) for st in wf.done]
-    lone = np.flatnonzero(~claimed_for_wf | rep)
+    return [_emit_contig(st, store) for st in wf.done]
+
+
+def build_contigs(
+    store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
+) -> tuple[list[ContigBatch], np.ndarray]:
+    N = store.num_reads
+    graph = _build_candidate_graph(store, cfg, stats, report)
+    boundaries = graph["boundaries"]
+    comp_sizes = np.diff(boundaries)
+    eligible = np.flatnonzero(comp_sizes >= 2)
+
+    W = cfg.resolved_workers()
+    if W > 1 and len(eligible) >= 2:
+        # greedy size-balanced bins, largest components first
+        order = eligible[np.argsort(-comp_sizes[eligible])]
+        bins = [[] for _ in range(W)]
+        loads = np.zeros(W, dtype=np.int64)
+        for c in order:
+            b = int(np.argmin(loads))
+            bins[b].append(int(c))
+            loads[b] += comp_sizes[c]
+        bins = [b for b in bins if b]
+        import os
+        import pickle
+        import subprocess
+        import sys as _sys
+        import tempfile as _tf
+
+        store_parts = (store.packed, store.offsets, store.lengths,
+                       store.exc_read, store.exc_pos, store.exc_byte)
+        omp = max(1, (cfg.resolved_threads() or 2) // len(bins))
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env = dict(os.environ, PYTHONPATH=repo_root)
+        procs, files = [], []
+        for b in bins:
+            fi = _tf.NamedTemporaryFile(suffix=".in.pkl", delete=False)
+            fo = _tf.NamedTemporaryFile(suffix=".out.pkl", delete=False)
+            fo.close()
+            pickle.dump((store_parts, cfg, graph, b, omp), fi,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+            fi.close()
+            p = subprocess.Popen(
+                [_sys.executable, "-m", "nanospring_tpu.pipeline.grow_worker",
+                 fi.name, fo.name],
+                env=env,
+            )
+            procs.append(p)
+            files.append((fi.name, fo.name))
+        results = []
+        for p, (fin, fout) in zip(procs, files):
+            rc = p.wait()
+            if rc != 0:
+                raise RuntimeError(f"grow worker failed with exit code {rc}")
+            with open(fout, "rb") as f:
+                results.append(pickle.load(f))
+            os.unlink(fin)
+            os.unlink(fout)
+        contig_dicts = []
+        for dicts, wstats in results:
+            contig_dicts.extend(dicts)
+            stats.not_claimed += wstats.not_claimed
+            stats.aligned_ok += wstats.aligned_ok
+    else:
+        contig_dicts = _grow_components(store, cfg, stats, graph,
+                                        eligible.tolist())
+
+    member_mask = np.zeros(N, dtype=bool)
+    for d in contig_dicts:
+        member_mask[d["ids"]] = True
+    lone = np.flatnonzero(~member_mask)
 
     # combine all contigs into one ContigBatch
     if contig_dicts:
