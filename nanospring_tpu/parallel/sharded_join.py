@@ -35,8 +35,14 @@ def _bucket_and_exchange(vals: jnp.ndarray, rids: jnp.ndarray, n_dev: int, cap: 
     vals/rids: (M,) local pairs. Returns (recv_vals, recv_rids, overflow)
     where recv_* are (n_dev * cap,) with EMPTY_SLOT padding.
     """
-    owner = (vals >> jnp.uint32(32 - max(1, (n_dev - 1).bit_length()))).astype(jnp.int32)
+    # minhash values are per-read minima (small-biased), so remix before
+    # taking range bits or every pair lands on device 0
+    mixed = vals * jnp.uint32(0x9E3779B1)
+    mixed = mixed ^ (mixed >> 16)
+    owner = (mixed >> jnp.uint32(32 - max(1, (n_dev - 1).bit_length()))).astype(jnp.int32)
     owner = jnp.minimum(owner, n_dev - 1)
+    # EMPTY_SLOT pairs are dropped, not sent: park them past every owner
+    owner = jnp.where(vals == sk.EMPTY_SLOT, n_dev, owner)
     # stable sort by owner, then build per-owner padded buckets
     order = jnp.argsort(owner)
     owner_s = owner[order]
@@ -44,10 +50,12 @@ def _bucket_and_exchange(vals: jnp.ndarray, rids: jnp.ndarray, n_dev: int, cap: 
     rids_s = rids[order]
     # rank within owner group
     idx = jnp.arange(vals.shape[0])
-    group_start = jnp.searchsorted(owner_s, jnp.arange(n_dev))
-    rank = idx - group_start[owner_s]
-    overflow = jnp.sum(rank >= cap)
-    slot = jnp.where(rank < cap, owner_s * cap + rank, n_dev * cap)  # spill slot
+    group_start = jnp.searchsorted(owner_s, jnp.arange(n_dev + 1))
+    rank = idx - group_start[jnp.minimum(owner_s, n_dev)]
+    valid = owner_s < n_dev
+    overflow = jnp.sum((rank >= cap) & valid)
+    slot = jnp.where(valid & (rank < cap),
+                     owner_s * cap + rank, n_dev * cap)  # spill slot
     send_vals = jnp.full((n_dev * cap + 1,), sk.EMPTY_SLOT, dtype=jnp.uint32)
     send_rids = jnp.full((n_dev * cap + 1,), jnp.uint32(0xFFFFFFFF), dtype=jnp.uint32)
     send_vals = send_vals.at[slot].set(vals_s)
@@ -64,6 +72,177 @@ def _local_collision_count(vals: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sort(vals)
     eq = (s[1:] == s[:-1]) & (s[1:] != sk.EMPTY_SLOT)
     return jnp.sum(eq)
+
+
+def make_slot_shuffle_step(mesh: Mesh, n_slots: int, cap_per_device: int):
+    """Stage 1 of the distributed join: for every sketch slot, route
+    (value, read_id) pairs to the device owning the value's hash range.
+
+    Input  (sharded over reads): sketches (N, n_slots) uint32, rids (N,)
+    Output (sharded over devices): vals/rids (n_dev, n_slots, n_dev*cap)
+    plus a psum'd overflow count. After this step each device holds, for
+    each slot, every (value, rid) pair in its hash range — the shuffle that
+    runs over ICI on a real slice.
+    """
+    n_dev = mesh.devices.size
+
+    def step(sketches, rids):
+        def one_slot(carry, vals):
+            rv, rr, ov = _bucket_and_exchange(vals, rids, n_dev, cap_per_device)
+            return carry + ov, (rv, rr)
+
+        ov, (rv, rr) = jax.lax.scan(
+            one_slot, jnp.int32(0), sketches.T
+        )
+        overflow = jax.lax.psum(ov, READS_AXIS)
+        return rv[None], rr[None], overflow
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_pair_exchange_step(mesh: Mesh, cap_per_device: int):
+    """Stage 3: route candidate pair keys to the device owning the pair,
+    so per-pair slot-hit counts can be summed in one place (the second
+    all_to_all of the classic distributed join)."""
+    n_dev = mesh.devices.size
+
+    def step(qs, rs_):
+        # qs/rs_: (P_cap,) int32 local pair halves, -1 padding. int32 pairs
+        # (not a fused int64 key) so read counts beyond 2^15.5 don't overflow
+        # under jax's default 32-bit ints.
+        mixed = (qs * jnp.int32(0x45D9F3B)) ^ (rs_ * jnp.int32(0x2545F491))
+        owner = jnp.abs(mixed) % n_dev
+        valid_in = qs >= 0
+        owner = jnp.where(valid_in, owner, n_dev)
+        order = jnp.argsort(owner)
+        owner_s = owner[order]
+        qs_s = qs[order]
+        rs_s = rs_[order]
+        idx = jnp.arange(qs.shape[0])
+        group_start = jnp.searchsorted(owner_s, jnp.arange(n_dev + 1))
+        rank = idx - group_start[jnp.minimum(owner_s, n_dev)]
+        valid = owner_s < n_dev
+        overflow = jnp.sum((rank >= cap_per_device) & valid)
+        slot = jnp.where(
+            valid & (rank < cap_per_device),
+            owner_s * cap_per_device + rank,
+            n_dev * cap_per_device,
+        )
+        out = []
+        for arr in (qs_s, rs_s):
+            send = jnp.full((n_dev * cap_per_device + 1,), -1, dtype=jnp.int32)
+            send = send.at[slot].set(arr)
+            send = send[: n_dev * cap_per_device].reshape(n_dev, cap_per_device)
+            out.append(
+                jax.lax.all_to_all(send, READS_AXIS, 0, 0, tiled=False)
+                .reshape(1, -1)
+            )
+        return out[0], out[1], jax.lax.psum(overflow, READS_AXIS)
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_candidate_pairs(
+    mesh: Mesh,
+    sketches,                 # (N, n_slots) uint32 numpy
+    threshold: int,
+    max_bucket: int = 256,
+    slot_cap: int | None = None,
+    pair_cap: int | None = None,
+):
+    """Full distributed overlap-candidate join over the mesh.
+
+    Device collectives do both shuffles (value-range, then pair-owner);
+    host code touches only its local shards between them — on a multi-host
+    pod each host expands only the ranges it owns. Returns (q, r) pairs
+    with >= threshold matching slots, identical to SketchIndex.query over
+    all reads (tested for equality in tests/test_parallel.py).
+    """
+    import numpy as np
+
+    N, n_slots = sketches.shape
+    n_dev = mesh.devices.size
+    if slot_cap is None:
+        slot_cap = max(64, 2 * N // n_dev)
+    rids = np.arange(N, dtype=np.uint32)
+    shuffle = make_slot_shuffle_step(mesh, n_slots, slot_cap)
+    rs = NamedSharding(mesh, P(READS_AXIS))
+    rv, rr, overflow = shuffle(
+        jax.device_put(np.asarray(sketches), rs), jax.device_put(rids, rs)
+    )
+    assert int(overflow) == 0, f"slot shuffle overflow {int(overflow)}"
+
+    # host stage: per device shard, expand same-value groups into pairs
+    rv = np.asarray(rv)   # (n_dev, n_slots, n_dev*slot_cap)
+    rr = np.asarray(rr)
+    pairs_per_dev = []
+    for d in range(n_dev):
+        local_q, local_r = [], []
+        for j in range(n_slots):
+            vals = rv[d, j]
+            ids = rr[d, j]
+            real = vals != sk.EMPTY_SLOT
+            vals, ids = vals[real], ids[real]
+            order = np.argsort(vals, kind="stable")
+            vals, ids = vals[order], ids[order]
+            boundary = np.ones(len(vals), dtype=bool)
+            boundary[1:] = vals[1:] != vals[:-1]
+            starts = np.flatnonzero(boundary)
+            sizes = np.diff(np.append(starts, len(vals)))
+            keep = (sizes >= 2) & (sizes <= max_bucket)
+            for s, g in zip(starts[keep], sizes[keep]):
+                grp = ids[s: s + g].astype(np.int32)
+                a = np.repeat(grp, g)
+                b = np.tile(grp, g)
+                ne = a != b
+                local_q.append(a[ne])
+                local_r.append(b[ne])
+        pairs_per_dev.append((
+            np.concatenate(local_q) if local_q else np.zeros(0, np.int32),
+            np.concatenate(local_r) if local_r else np.zeros(0, np.int32),
+        ))
+
+    longest = max((len(q) for q, _ in pairs_per_dev), default=0)
+    if pair_cap is None:
+        pair_cap = max(64, 2 * longest)
+    p_local = 1 << max(6, int(max(1, longest) - 1).bit_length())
+    send_q = np.full((n_dev, p_local), -1, dtype=np.int32)
+    send_r = np.full((n_dev, p_local), -1, dtype=np.int32)
+    for d, (q, r) in enumerate(pairs_per_dev):
+        send_q[d, : len(q)] = q
+        send_r[d, : len(r)] = r
+    exchange = make_pair_exchange_step(mesh, pair_cap)
+    rq, rr2, overflow2 = exchange(
+        jax.device_put(send_q.reshape(-1), rs),
+        jax.device_put(send_r.reshape(-1), rs),
+    )
+    assert int(overflow2) == 0, f"pair exchange overflow {int(overflow2)}"
+    rq = np.asarray(rq).reshape(-1).astype(np.int64)
+    rr2 = np.asarray(rr2).reshape(-1).astype(np.int64)
+    good = rq >= 0
+    key = rq[good] * N + rr2[good]
+    key.sort()
+    boundary = np.ones(len(key), dtype=bool)
+    boundary[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.append(starts, len(key)))
+    keep = counts >= threshold
+    uk = key[starts[keep]]
+    return uk // N, uk % N, counts[keep]
 
 
 def make_sharded_join_step(mesh: Mesh, k: int, cap_per_device: int):
