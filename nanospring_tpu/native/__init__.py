@@ -17,7 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
-_SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp"]
+_SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -71,5 +71,15 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_fastq_scan.argtypes = [u8p, i64, i64p, i64p, i64p]
             lib.ns_fastq_pack.restype = None
             lib.ns_fastq_pack.argtypes = [u8p, i64, u8p, i64p, i64p, i64p, u8p]
+            lib.ns_gather_reads.restype = None
+            lib.ns_gather_reads.argtypes = [
+                u8p, u8p, i64p, u8p, i64p, i64, u8p,
+            ]
+            lib.ns_replay_members.restype = None
+            lib.ns_replay_members.argtypes = [
+                u8p, i64p, i64p, i64p, i64p, i64p, i64p,
+                i64p, i64p, i64p, u8p, i64p, u8p, u8p, i64,
+                i64p, i64p, u8p,
+            ]
             _LIB = lib
     return _LIB
