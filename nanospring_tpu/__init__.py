@@ -30,6 +30,11 @@ def enable_jax_compilation_cache() -> None:
     """Persist XLA compilations across runs (kernel shapes recur)."""
     import os
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU AOT cache entries are machine-feature sensitive (loader warns
+        # about possible SIGILL); the cache only pays off for accelerator
+        # backends where compiles are slow.
+        return
     try:
         import jax
 

@@ -17,7 +17,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
-_SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp"]
+_SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
+            "minimizers.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -71,6 +72,11 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_fastq_scan.argtypes = [u8p, i64, i64p, i64p, i64p]
             lib.ns_fastq_pack.restype = None
             lib.ns_fastq_pack.argtypes = [u8p, i64, u8p, i64p, i64p, i64p, u8p]
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.ns_minimizers.restype = i64
+            lib.ns_minimizers.argtypes = [
+                u8p, i64, i32, i32, u64p, i64p, u8p,
+            ]
             lib.ns_gather_reads.restype = None
             lib.ns_gather_reads.argtypes = [
                 u8p, u8p, i64p, u8p, i64p, i64, u8p,

@@ -47,10 +47,10 @@ def dense_kmer_hashes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     return _mix64(canon), take_fwd
 
 
-def minimizers(
+def minimizers_np(
     codes: np.ndarray, k: int, w: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(hashes uint64, positions int64, fwd_flags bool) of (w,k)-minimizers."""
+    """numpy reference implementation (oracle for the C++ fast path)."""
     h, fwdflag = dense_kmer_hashes(codes, k)
     P = len(h)
     if P == 0:
@@ -62,6 +62,49 @@ def minimizers(
     pos = win.argmin(axis=1) + np.arange(P - w + 1)
     pos = np.unique(pos)  # dedupe consecutive windows picking the same k-mer
     return h[pos], pos.astype(np.int64), fwdflag[pos]
+
+
+_NATIVE = None
+
+
+def minimizers(
+    codes: np.ndarray, k: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hashes uint64, positions int64, fwd_flags bool) of (w,k)-minimizers.
+
+    C++ fast path (native/minimizers.cpp, exact same definition) with numpy
+    fallback; tested equal in tests/test_align.py.
+    """
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from .. import native
+
+            native.get_lib()
+            _NATIVE = True
+        except Exception:
+            _NATIVE = False
+    if not _NATIVE:
+        return minimizers_np(codes, k, w)
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    L = len(codes)
+    cap = max(1, L - k + 1)
+    out_h = np.empty(cap, dtype=np.uint64)
+    out_pos = np.empty(cap, dtype=np.int64)
+    out_fwd = np.empty(cap, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = lib.ns_minimizers(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(L), ctypes.c_int32(k), ctypes.c_int32(w),
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_fwd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h[:n], out_pos[:n], out_fwd[:n].astype(bool)
 
 
 def match_anchors(
