@@ -23,6 +23,16 @@ import numpy as np
 from . import packed as pk
 
 
+def _native_lib():
+    """The native lib, or None when no compiler is available."""
+    try:
+        from .. import native
+
+        return native.get_lib()
+    except Exception:
+        return None
+
+
 class ReadStore:
     """Immutable collection of reads built via ReadStoreBuilder."""
 
@@ -80,6 +90,25 @@ class ReadStore:
         lens = self.lengths[rids]
         Lpad = int(pad_to if pad_to is not None else (lens.max() if len(lens) else 0))
         B = len(rids)
+        lib = _native_lib()
+        if lib is not None and B:
+            import ctypes
+
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            out = np.empty((B, Lpad), dtype=np.uint8)
+            packed = self.packed
+            if not packed.flags["C_CONTIGUOUS"]:
+                packed = np.ascontiguousarray(packed)
+            lib.ns_unpack_batch(
+                packed.ctypes.data_as(u8p),
+                self.offsets.ctypes.data_as(i64p),
+                self.lengths.ctypes.data_as(i64p),
+                rids.ctypes.data_as(i64p),
+                ctypes.c_int64(B), ctypes.c_int64(Lpad),
+                ctypes.c_uint8(fill), out.ctypes.data_as(u8p),
+            )
+            return out, lens
         nbytes = (Lpad + 3) // 4
         # (B, nbytes) byte indices, clamped so out-of-range lanes read byte 0
         byte_idx = self.offsets[rids][:, None] + np.arange(nbytes, dtype=np.int64)[None, :]

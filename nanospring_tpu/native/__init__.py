@@ -18,7 +18,7 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
-            "minimizers.cpp"]
+            "minimizers.cpp", "hot.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -86,6 +86,27 @@ def get_lib() -> ctypes.CDLL:
                 u8p, i64p, i64p, i64p, i64p, i64p, i64p,
                 i64p, i64p, i64p, u8p, i64p, u8p, u8p, i64,
                 i64p, i64p, u8p,
+            ]
+            lib.ns_unpack_batch.restype = None
+            lib.ns_unpack_batch.argtypes = [
+                u8p, i64p, i64p, i64p, i64, i64, ctypes.c_uint8, u8p,
+            ]
+            lib.ns_gather_packed.restype = None
+            lib.ns_gather_packed.argtypes = [
+                u8p, i64p, i64p, i64p, i64, i64, u8p,
+            ]
+            lib.ns_repetitive_screen.restype = None
+            lib.ns_repetitive_screen.argtypes = [
+                u8p, i64p, i64p, i64, i32, i32, u8p,
+            ]
+            lib.ns_edit_counts.restype = None
+            lib.ns_edit_counts.argtypes = [
+                u8p, i64p, i64p, i64, i64p, i64p, i64p, i64p,
+            ]
+            lib.ns_edit_fill.restype = None
+            lib.ns_edit_fill.argtypes = [
+                u8p, i64p, i64p, u8p, i64p, i64p, i64p, i64p, i64p, i64,
+                i64p, u8p, u8p,
             ]
             _LIB = lib
     return _LIB

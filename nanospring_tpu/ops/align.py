@@ -212,6 +212,15 @@ def ops_to_edit_scripts(
         z = lambda dt: np.zeros(0, dtype=dt)
         return EditScripts(z(np.int64), z(np.int64), z(np.int64), z(np.int64),
                            z(np.int64), z(np.uint8), z(np.uint8))
+    lib = None
+    try:
+        from .. import native
+
+        lib = native.get_lib()
+    except Exception:
+        pass
+    if lib is not None:
+        return _ops_to_edit_scripts_native(lib, res, sel, queries_flat, q_off)
     lens = res.ops_len[sel]
     offs = res.ops_off[sel]
     total = int(lens.sum())
@@ -284,6 +293,51 @@ def ops_to_edit_scripts(
     lit_q = q_off[sel][read_of[lit_idx]] + qpos[lit_idx]
     bases_flat = pk.decode_to_ascii(queries_flat[lit_q])
 
+    return EditScripts(
+        start_pos=res.tstart[sel].astype(np.int64),
+        head_ins=head,
+        tail_ins=tail,
+        n_edits=n_edits,
+        runs_flat=runs_flat,
+        types_flat=types_flat,
+        bases_flat=bases_flat,
+    )
+
+
+def _ops_to_edit_scripts_native(lib, res, sel, queries_flat, q_off):
+    """Two-pass C++ extraction (native/hot.cpp) — same output as the numpy
+    path (tested equal in tests/test_align.py)."""
+    sel = np.asarray(sel, dtype=np.int64)
+    P = len(sel)
+    c_ops_off = np.ascontiguousarray(res.ops_off[sel], dtype=np.int64)
+    c_ops_len = np.ascontiguousarray(res.ops_len[sel], dtype=np.int64)
+    c_q_off = np.ascontiguousarray(np.asarray(q_off)[sel], dtype=np.int64)
+    ops_flat = np.ascontiguousarray(res.ops_flat, dtype=np.uint8)
+    queries_flat = np.ascontiguousarray(queries_flat, dtype=np.uint8)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cp = lambda a: a.ctypes.data_as(i64p)
+    n_edits = np.empty(P, dtype=np.int64)
+    n_lits = np.empty(P, dtype=np.int64)
+    head = np.empty(P, dtype=np.int64)
+    tail = np.empty(P, dtype=np.int64)
+    lib.ns_edit_counts(
+        ops_flat.ctypes.data_as(u8p), cp(c_ops_off), cp(c_ops_len),
+        ctypes.c_int64(P), cp(n_edits), cp(n_lits), cp(head), cp(tail),
+    )
+    run_off = _excl_cumsum(n_edits + 1)
+    lit_off = _excl_cumsum(n_lits)
+    runs_flat = np.empty(int((n_edits + 1).sum()), dtype=np.int64)
+    types_flat = np.empty(int(n_edits.sum()), dtype=np.uint8)
+    bases_flat = np.empty(int(n_lits.sum()), dtype=np.uint8)
+    lib.ns_edit_fill(
+        ops_flat.ctypes.data_as(u8p), cp(c_ops_off), cp(c_ops_len),
+        queries_flat.ctypes.data_as(u8p), cp(c_q_off),
+        cp(head), cp(tail), cp(run_off), cp(lit_off), ctypes.c_int64(P),
+        cp(runs_flat), types_flat.ctypes.data_as(u8p),
+        bases_flat.ctypes.data_as(u8p),
+    )
     return EditScripts(
         start_pos=res.tstart[sel].astype(np.int64),
         head_ins=head,

@@ -103,9 +103,34 @@ def repetitive_screen(store, cfg: CompressConfig) -> np.ndarray:
     and flags reads above 0.7 (checkRepetitive, src/Consensus.cpp:405-424);
     repetitive reads are never seeded or claimed (:203-208) because their
     sketches recruit spurious overlaps. Same screen here as shifted-equality
-    means over (B, Lpad) code matrices.
+    means over (B, Lpad) code matrices (numpy fallback); the native path
+    runs the per-read scan directly on the packed store (hot.cpp).
     """
     N = store.num_reads
+    try:
+        from .. import native as _nat
+
+        lib = _nat.get_lib()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(store, "packed"):
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        packed = store.packed
+        if not packed.flags["C_CONTIGUOUS"]:
+            packed = np.ascontiguousarray(packed)
+        mask = np.zeros(N, dtype=np.uint8)
+        lib.ns_repetitive_screen(
+            packed.ctypes.data_as(u8p),
+            store.offsets.ctypes.data_as(i64p),
+            store.lengths.ctypes.data_as(i64p),
+            ctypes.c_int64(N), ctypes.c_int32(cfg.repetitive_offsets),
+            ctypes.c_int32(int(round(cfg.repetitive_threshold * 1e6))),
+            mask.ctypes.data_as(u8p),
+        )
+        return mask.astype(bool)
     rep = np.zeros(N, dtype=bool)
     order = np.argsort(store.lengths, kind="stable")
     maxoff = cfg.repetitive_offsets
