@@ -18,7 +18,7 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
-            "minimizers.cpp", "hot.cpp"]
+            "minimizers.cpp", "hot.cpp", "polish.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -108,5 +108,21 @@ def get_lib() -> ctypes.CDLL:
                 u8p, i64p, i64p, u8p, i64p, i64p, i64p, i64p, i64p, i64,
                 i64p, u8p, u8p,
             ]
+            lib.ns_unpack_oriented.restype = None
+            lib.ns_unpack_oriented.argtypes = [
+                u8p, i64p, i64p, i64p, u8p, i64, i64p, u8p,
+            ]
+            lib.ns_polish_batch.restype = ctypes.c_void_p
+            lib.ns_polish_batch.argtypes = [
+                u8p, i64p, i64p, i64,
+                u8p, i64p, i64p, i64p, i64p, i64p,
+                u8p, i64p, i64p, i64p,
+            ]
+            lib.ns_polish_fetch.restype = None
+            lib.ns_polish_fetch.argtypes = [
+                ctypes.c_void_p, u8p, i64p, u8p, i64p, i64p,
+            ]
+            lib.ns_polish_free.restype = None
+            lib.ns_polish_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
     return _LIB

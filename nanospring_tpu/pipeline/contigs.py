@@ -295,6 +295,122 @@ def _polish_contig(state: _ContigState, store) -> None:
         m.ops[has_base] = newop
 
 
+def _excl_cumsum64(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x), dtype=np.int64)
+    if len(x) > 1:
+        np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def _member_codes_flat(states: list, store):
+    """Oriented query codes of every member of every contig, flat (native)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    rids = np.array([m.rid for st in states for m in st.members], np.int64)
+    strand = np.array([m.strand for st in states for m in st.members], np.uint8)
+    codes_len = store.lengths[rids].astype(np.int64)
+    codes_off = _excl_cumsum64(codes_len)
+    codes_flat = np.empty(int(codes_len.sum()), np.uint8)
+    packed = store.packed
+    if not packed.flags["C_CONTIGUOUS"]:
+        packed = np.ascontiguousarray(packed)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ns_unpack_oriented(
+        packed.ctypes.data_as(u8p),
+        store.offsets.ctypes.data_as(i64p),
+        store.lengths.ctypes.data_as(i64p),
+        rids.ctypes.data_as(i64p), strand.ctypes.data_as(u8p),
+        ctypes.c_int64(len(rids)), codes_off.ctypes.data_as(i64p),
+        codes_flat.ctypes.data_as(u8p),
+    )
+    return codes_flat, codes_off, codes_len
+
+
+def _polish_batch_native(states: list, store) -> bool:
+    """Batched C++ polish of all contigs (native/polish.cpp); mutates the
+    states in place. Returns False when the native lib is unavailable so
+    the caller can fall back to the numpy oracle path."""
+    try:
+        import ctypes
+
+        from .. import native
+
+        lib = native.get_lib()
+    except Exception:
+        return False
+    C = len(states)
+    if C == 0:
+        return True
+    cons_len = np.array([len(st.cons) for st in states], np.int64)
+    cons_off = _excl_cumsum64(cons_len)
+    cons_flat = (np.concatenate([st.cons for st in states])
+                 if C else np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    m_cnt = np.array([len(st.members) for st in states], np.int64)
+    m_off = _excl_cumsum64(m_cnt)
+    members = [m for st in states for m in st.members]
+    M = len(members)
+    ops_len = np.array([len(m.ops) for m in members], np.int64)
+    ops_off = _excl_cumsum64(ops_len)
+    ops_flat = (np.concatenate([m.ops for m in members])
+                if M else np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    tstart_rel = np.empty(M, np.int64)
+    k = 0
+    for st in states:
+        for m in st.members:
+            tstart_rel[k] = m.tstart - st.lo
+            k += 1
+    codes_flat, codes_off, _ = _member_codes_flat(states, store)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out_cons_total = ctypes.c_int64()
+    out_ops_total = ctypes.c_int64()
+    h = lib.ns_polish_batch(
+        cons_flat.ctypes.data_as(u8p), cons_off.ctypes.data_as(i64p),
+        cons_len.ctypes.data_as(i64p), ctypes.c_int64(C),
+        ops_flat.ctypes.data_as(u8p), ops_off.ctypes.data_as(i64p),
+        ops_len.ctypes.data_as(i64p), tstart_rel.ctypes.data_as(i64p),
+        m_off.ctypes.data_as(i64p), m_cnt.ctypes.data_as(i64p),
+        codes_flat.ctypes.data_as(u8p), codes_off.ctypes.data_as(i64p),
+        ctypes.byref(out_cons_total), ctypes.byref(out_ops_total),
+    )
+    try:
+        new_cons_flat = np.empty(out_cons_total.value, np.uint8)
+        new_cons_len = np.empty(C, np.int64)
+        new_ops_flat = np.empty(out_ops_total.value, np.uint8)
+        new_ops_len = np.empty(M, np.int64)
+        new_tstart = np.empty(M, np.int64)
+        lib.ns_polish_fetch(
+            ctypes.c_void_p(h),
+            new_cons_flat.ctypes.data_as(u8p), new_cons_len.ctypes.data_as(i64p),
+            new_ops_flat.ctypes.data_as(u8p), new_ops_len.ctypes.data_as(i64p),
+            new_tstart.ctypes.data_as(i64p),
+        )
+    finally:
+        lib.ns_polish_free(ctypes.c_void_p(h))
+    # unflatten
+    oo = 0
+    mi = 0
+    cpos = 0
+    ci = 0
+    for st in states:
+        L = int(new_cons_len[ci])
+        st.cons = new_cons_flat[cpos: cpos + L].copy()
+        cpos += L
+        ci += 1
+        for m in st.members:
+            ln = int(new_ops_len[mi])
+            m.ops = new_ops_flat[oo: oo + ln].copy()
+            m.tstart = st.lo + int(new_tstart[mi])
+            oo += ln
+            mi += 1
+    return True
+
+
 def _member_tape(state: _ContigState, store, m: _Member):
     """Per-op (target column, query pos, codes) arrays for one member."""
     ops = m.ops
@@ -439,26 +555,35 @@ def _polish_indels(state: _ContigState, store) -> None:
     state.cons = np.insert(state.cons, ins_gaps, ins_base)
 
 
-def _emit_contig(state: _ContigState, store) -> dict:
-    """Pack one finished contig into flat per-member arrays."""
-    members = state.members
+def _emit_group(states: list, store) -> dict:
+    """Pack a group of finished contigs into flat member-order arrays.
+
+    One edit-script extraction call over every member of every contig —
+    the batch axis replaces the reference's per-read writeRead loop
+    (src/ConsensusGraph.cpp:984-1178).
+    """
+    members = [m for st in states for m in st.members]
     M = len(members)
     ops_len = np.array([len(m.ops) for m in members], dtype=np.int64)
-    ops_off = np.zeros(M, dtype=np.int64)
-    np.cumsum(ops_len[:-1], out=ops_off[1:])
+    ops_off = _excl_cumsum64(ops_len)
     ops_flat = np.concatenate([m.ops for m in members]) if M else np.zeros(0, np.uint8)
     rids = np.array([m.rid for m in members], dtype=np.int64)
     strands = np.array([m.strand for m in members], dtype=np.uint8)
-    tstarts = np.array([m.tstart - state.lo for m in members], dtype=np.int64)
+    tstarts = np.empty(M, dtype=np.int64)
+    k = 0
+    for st in states:
+        for m in st.members:
+            tstarts[k] = m.tstart - st.lo
+            k += 1
 
     # oriented query codes for literal extraction
-    q_len = store.lengths[rids]
-    q_off = np.zeros(M, dtype=np.int64)
-    np.cumsum(q_len[:-1], out=q_off[1:])
-    qparts = []
-    for m in members:
-        qparts.append(_orient_codes(store.get_codes(m.rid), m.strand))
-    queries_flat = np.concatenate(qparts) if M else np.zeros(0, np.uint8)
+    try:
+        queries_flat, q_off, q_len = _member_codes_flat(states, store)
+    except Exception:
+        q_len = store.lengths[rids].astype(np.int64) if M else np.zeros(0, np.int64)
+        q_off = _excl_cumsum64(q_len)
+        qparts = [_orient_codes(store.get_codes(m.rid), m.strand) for m in members]
+        queries_flat = np.concatenate(qparts) if M else np.zeros(0, np.uint8)
 
     res = al.AlignResult(
         cost=np.zeros(M, np.int32), tstart=tstarts,
@@ -467,7 +592,8 @@ def _emit_contig(state: _ContigState, store) -> dict:
     )
     es = al.ops_to_edit_scripts(res, np.arange(M), queries_flat, q_off, q_len)
     return {
-        "consensus": state.cons,
+        "consensus_list": [st.cons for st in states],
+        "reads_per_contig": np.array([len(st.members) for st in states], np.int64),
         "ids": rids,
         "strand": strands,
         "es": es,
@@ -848,8 +974,8 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
 
 
 def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
-                     graph: dict, comp_subset) -> list[dict]:
-    """Grow + polish + emit contigs for a subset of components.
+                     graph: dict, comp_subset) -> dict:
+    """Grow + polish + emit one contig group for a subset of components.
 
     Components are disjoint in reads, so subsets run with zero coordination
     (no locks, no shared claim table) — one subset per worker process here,
@@ -895,12 +1021,14 @@ def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
 
     if cfg.polish_rounds > 0:
         # substitutions -> indels -> substitutions: the second sub pass
-        # settles columns whose votes shifted when indel columns moved
-        for st in wf.done:
-            _polish_contig(st, store)
-            _polish_indels(st, store)
-            _polish_contig(st, store)
-    return [_emit_contig(st, store) for st in wf.done]
+        # settles columns whose votes shifted when indel columns moved.
+        # One batched native call when available; numpy oracle otherwise.
+        if not _polish_batch_native(wf.done, store):
+            for st in wf.done:
+                _polish_contig(st, store)
+                _polish_indels(st, store)
+                _polish_contig(st, store)
+    return _emit_group(wf.done, store)
 
 
 def build_contigs(
@@ -950,43 +1078,41 @@ def build_contigs(
             )
             procs.append(p)
             files.append((fi.name, fo.name))
-        results = []
+        groups = []
         for p, (fin, fout) in zip(procs, files):
             rc = p.wait()
             if rc != 0:
                 raise RuntimeError(f"grow worker failed with exit code {rc}")
             with open(fout, "rb") as f:
-                results.append(pickle.load(f))
-            os.unlink(fin)
-            os.unlink(fout)
-        contig_dicts = []
-        for dicts, wstats in results:
-            contig_dicts.extend(dicts)
+                g, wstats = pickle.load(f)
+            groups.append(g)
             stats.not_claimed += wstats.not_claimed
             stats.aligned_ok += wstats.aligned_ok
+            os.unlink(fin)
+            os.unlink(fout)
     else:
-        contig_dicts = _grow_components(store, cfg, stats, graph,
-                                        eligible.tolist())
+        groups = [_grow_components(store, cfg, stats, graph, eligible.tolist())]
 
     member_mask = np.zeros(N, dtype=bool)
-    for d in contig_dicts:
-        member_mask[d["ids"]] = True
+    for g in groups:
+        member_mask[g["ids"]] = True
     lone = np.flatnonzero(~member_mask)
 
-    # combine all contigs into one ContigBatch
-    if contig_dicts:
+    # combine all groups into one ContigBatch
+    groups = [g for g in groups if len(g["consensus_list"])]
+    if groups:
         cb = ContigBatch(
-            consensus_list=[d["consensus"] for d in contig_dicts],
-            reads_per_contig=np.array([len(d["ids"]) for d in contig_dicts], np.int64),
-            ids=np.concatenate([d["ids"] for d in contig_dicts]),
-            strand=np.concatenate([d["strand"] for d in contig_dicts]),
-            start_pos=np.concatenate([d["es"].start_pos for d in contig_dicts]),
-            head_ins=np.concatenate([d["es"].head_ins for d in contig_dicts]),
-            tail_ins=np.concatenate([d["es"].tail_ins for d in contig_dicts]),
-            n_edits=np.concatenate([d["es"].n_edits for d in contig_dicts]),
-            runs_flat=np.concatenate([d["es"].runs_flat for d in contig_dicts]),
-            types_flat=np.concatenate([d["es"].types_flat for d in contig_dicts]),
-            bases_flat=np.concatenate([d["es"].bases_flat for d in contig_dicts]),
+            consensus_list=[c for g in groups for c in g["consensus_list"]],
+            reads_per_contig=np.concatenate([g["reads_per_contig"] for g in groups]),
+            ids=np.concatenate([g["ids"] for g in groups]),
+            strand=np.concatenate([g["strand"] for g in groups]),
+            start_pos=np.concatenate([g["es"].start_pos for g in groups]),
+            head_ins=np.concatenate([g["es"].head_ins for g in groups]),
+            tail_ins=np.concatenate([g["es"].tail_ins for g in groups]),
+            n_edits=np.concatenate([g["es"].n_edits for g in groups]),
+            runs_flat=np.concatenate([g["es"].runs_flat for g in groups]),
+            types_flat=np.concatenate([g["es"].types_flat for g in groups]),
+            bases_flat=np.concatenate([g["es"].bases_flat for g in groups]),
         )
         batches = [cb]
     else:

@@ -27,9 +27,9 @@ def main(in_path: str, out_path: str) -> int:
 
     store = ReadStore(*store_parts)
     stats = FunnelStats()
-    dicts = contigs._grow_components(store, cfg, stats, graph, subset)
+    group = contigs._grow_components(store, cfg, stats, graph, subset)
     with open(out_path, "wb") as f:
-        pickle.dump((dicts, stats), f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump((group, stats), f, protocol=pickle.HIGHEST_PROTOCOL)
     return 0
 
 
