@@ -18,7 +18,7 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
-            "minimizers.cpp", "hot.cpp", "polish.cpp"]
+            "minimizers.cpp", "hot.cpp", "polish.cpp", "join.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -124,5 +124,12 @@ def get_lib() -> ctypes.CDLL:
             ]
             lib.ns_polish_free.restype = None
             lib.ns_polish_free.argtypes = [ctypes.c_void_p]
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.ns_join_run.restype = ctypes.c_void_p
+            lib.ns_join_run.argtypes = [u32p, i64, i32, i32, i32, i64p]
+            lib.ns_join_fetch.restype = None
+            lib.ns_join_fetch.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+            lib.ns_join_free.restype = None
+            lib.ns_join_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
     return _LIB

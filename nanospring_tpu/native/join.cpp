@@ -1,0 +1,134 @@
+// Overlap-candidate join over MinHash sketches, owner-computes per read.
+//
+// Native equivalent of pipeline/candidates.py::SketchIndex (itself the
+// replacement for the reference's 60 BooPHF tables + bucket query,
+// reference: src/BBHashMap.cpp:10-120, src/ReadFilter.cpp:65-97):
+//   - per hash slot, sort (value, read-id) pairs;
+//   - per read, binary-search its value in each slot, gather bucket
+//     members (buckets larger than max_bucket are skipped as repetitive),
+//     and keep candidates appearing in >= threshold slots.
+// Self-pairs (q == r) are dropped here (the Python caller dropped them
+// one step later). Output is sorted by (q, r) — the same order the numpy
+// index produces — so downstream growth order is identical.
+//
+// C ABI, handle pattern (results are ragged): ns_join_run -> total,
+// ns_join_fetch -> copy out, ns_join_free.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct JoinResult {
+    // per-read candidate lists, concatenated in read order
+    std::vector<int64_t> q, r, cnt;
+};
+
+}  // namespace
+
+extern "C" {
+
+// sketches: (N, n) uint32 row-major. EMPTY_SLOT (0xFFFFFFFF) never matches.
+// Returns handle; *out_total = number of (q, r) pairs.
+void* ns_join_run(
+    const uint32_t* sketches, int64_t N, int32_t n,
+    int32_t threshold, int32_t max_bucket,
+    int64_t* out_total)
+{
+    const uint32_t EMPTY = 0xFFFFFFFFu;
+    // per-slot sorted (value, id)
+    std::vector<std::vector<uint32_t>> vals((size_t)n), ids((size_t)n);
+    #pragma omp parallel for schedule(dynamic, 1)
+    for (int32_t j = 0; j < n; ++j) {
+        std::vector<uint64_t> keyed((size_t)N);   // value<<32 | id: stable
+        for (int64_t i = 0; i < N; ++i)
+            keyed[(size_t)i] =
+                ((uint64_t)sketches[(size_t)i * n + j] << 32) | (uint64_t)i;
+        std::sort(keyed.begin(), keyed.end());
+        vals[j].resize((size_t)N);
+        ids[j].resize((size_t)N);
+        for (int64_t i = 0; i < N; ++i) {
+            vals[j][(size_t)i] = (uint32_t)(keyed[(size_t)i] >> 32);
+            ids[j][(size_t)i] = (uint32_t)keyed[(size_t)i];
+        }
+    }
+
+    JoinResult* res = new JoinResult();
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+#endif
+    std::vector<JoinResult> parts((size_t)nthreads);
+    std::vector<std::vector<int64_t>> part_off((size_t)nthreads);
+    // static partition of reads keeps output order reconstructible
+    const int64_t chunk = (N + nthreads - 1) / nthreads;
+    #pragma omp parallel num_threads(nthreads)
+    {
+        int tid = 0;
+#ifdef _OPENMP
+        tid = omp_get_thread_num();
+#endif
+        JoinResult& out = parts[(size_t)tid];
+        std::vector<uint32_t> local;
+        const int64_t qlo = (int64_t)tid * chunk;
+        const int64_t qhi = std::min(N, qlo + chunk);
+        for (int64_t qi = qlo; qi < qhi; ++qi) {
+            local.clear();
+            for (int32_t j = 0; j < n; ++j) {
+                const uint32_t v = sketches[(size_t)qi * n + j];
+                if (v == EMPTY) continue;
+                const std::vector<uint32_t>& V = vals[j];
+                const uint32_t* lo =
+                    std::lower_bound(V.data(), V.data() + N, v);
+                const uint32_t* hi =
+                    std::upper_bound(lo, V.data() + N, v);
+                const int64_t b = hi - lo;
+                if (b == 0 || b > max_bucket) continue;
+                const int64_t base = lo - V.data();
+                const uint32_t* I = ids[j].data() + base;
+                local.insert(local.end(), I, I + b);
+            }
+            if ((int64_t)local.size() < threshold) continue;
+            std::sort(local.begin(), local.end());
+            size_t s = 0;
+            while (s < local.size()) {
+                size_t e = s;
+                while (e < local.size() && local[e] == local[s]) ++e;
+                if ((int64_t)(e - s) >= threshold &&
+                    (int64_t)local[s] != qi) {
+                    out.q.push_back(qi);
+                    out.r.push_back((int64_t)local[s]);
+                    out.cnt.push_back((int64_t)(e - s));
+                }
+                s = e;
+            }
+        }
+    }
+    JoinResult* all = res;
+    for (JoinResult& p : parts) {
+        all->q.insert(all->q.end(), p.q.begin(), p.q.end());
+        all->r.insert(all->r.end(), p.r.begin(), p.r.end());
+        all->cnt.insert(all->cnt.end(), p.cnt.begin(), p.cnt.end());
+    }
+    *out_total = (int64_t)all->q.size();
+    return res;
+}
+
+void ns_join_fetch(void* handle, int64_t* q_out, int64_t* r_out,
+                   int64_t* cnt_out)
+{
+    JoinResult* res = (JoinResult*)handle;
+    std::memcpy(q_out, res->q.data(), res->q.size() * sizeof(int64_t));
+    std::memcpy(r_out, res->r.data(), res->r.size() * sizeof(int64_t));
+    std::memcpy(cnt_out, res->cnt.data(), res->cnt.size() * sizeof(int64_t));
+}
+
+void ns_join_free(void* handle) { delete (JoinResult*)handle; }
+
+}  // extern "C"

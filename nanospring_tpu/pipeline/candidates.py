@@ -20,6 +20,43 @@ import numpy as np
 from ..ops.sketch import EMPTY_SLOT
 
 
+def all_pairs_native(sketches: np.ndarray, threshold: int,
+                     max_bucket: int = 256):
+    """All overlap-candidate pairs (q != r), sorted by (q, r), via the C++
+    owner-computes join (native/join.cpp). Returns (q, r, counts) or None
+    when the native lib is unavailable. Matches SketchIndex.query over all
+    reads with self-pairs removed (tested in tests/test_sketch.py)."""
+    try:
+        import ctypes
+
+        from .. import native
+
+        lib = native.get_lib()
+    except Exception:
+        return None
+    N, n = sketches.shape
+    sk = np.ascontiguousarray(sketches, dtype=np.uint32)
+    total = ctypes.c_int64()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    h = lib.ns_join_run(
+        sk.ctypes.data_as(u32p), ctypes.c_int64(N), ctypes.c_int32(n),
+        ctypes.c_int32(threshold), ctypes.c_int32(max_bucket),
+        ctypes.byref(total),
+    )
+    try:
+        q = np.empty(total.value, np.int64)
+        r = np.empty(total.value, np.int64)
+        cnt = np.empty(total.value, np.int64)
+        lib.ns_join_fetch(
+            ctypes.c_void_p(h), q.ctypes.data_as(i64p),
+            r.ctypes.data_as(i64p), cnt.ctypes.data_as(i64p),
+        )
+    finally:
+        lib.ns_join_free(ctypes.c_void_p(h))
+    return q, r, cnt
+
+
 class SketchIndex:
     def __init__(self, sketches: np.ndarray, max_bucket: int = 256):
         """sketches: (N, n) uint32; EMPTY_SLOT rows (short reads) never match."""

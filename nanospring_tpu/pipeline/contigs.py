@@ -180,7 +180,13 @@ class _ContigState:
                  cfg: CompressConfig):
         self.cid = cid
         self.cfg = cfg
-        self.cons = seed_codes.copy()
+        # consensus lives in a slack buffer so head/tail growth is amortized
+        # O(growth) instead of O(len) per accept (contigs reach megabases)
+        n = len(seed_codes)
+        self._buf = np.empty(2 * n + 512, dtype=np.uint8)
+        self._start = n // 2 + 128
+        self._len = n
+        self._buf[self._start: self._start + n] = seed_codes
         self.lo = 0  # consensus coords of cons[0]
         self.members: list[_Member] = []
         self.total_aligned = 0
@@ -190,8 +196,42 @@ class _ContigState:
         self.anchors: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     @property
+    def cons(self) -> np.ndarray:
+        return self._buf[self._start: self._start + self._len]
+
+    @cons.setter
+    def cons(self, arr: np.ndarray) -> None:
+        arr = np.asarray(arr, dtype=np.uint8)
+        self._buf = arr.copy() if arr.base is self._buf else arr
+        self._start = 0
+        self._len = len(arr)
+
+    def _prepend(self, codes: np.ndarray) -> None:
+        n = len(codes)
+        if n > self._start:
+            grow = max(n, self._len) + 512
+            nb = np.empty(grow + self._start + len(self._buf), dtype=np.uint8)
+            nb[grow + self._start: grow + self._start + self._len] = self.cons
+            self._buf = nb
+            self._start += grow
+        self._start -= n
+        self._len += n
+        self._buf[self._start: self._start + n] = codes
+
+    def _append(self, codes: np.ndarray) -> None:
+        n = len(codes)
+        end = self._start + self._len
+        if end + n > len(self._buf):
+            grow = max(n, self._len) + 512
+            nb = np.empty(len(self._buf) + grow, dtype=np.uint8)
+            nb[self._start: end] = self.cons
+            self._buf = nb
+        self._buf[end: end + n] = codes
+        self._len += n
+
+    @property
     def hi(self) -> int:
-        return self.lo + len(self.cons)
+        return self.lo + self._len
 
     def add_seed_member(self, rid: int, codes: np.ndarray) -> None:
         ops = np.full(len(codes), ord("="), dtype=np.uint8)
@@ -219,12 +259,12 @@ class _ContigState:
         while tail < len(ops) and ops[len(ops) - 1 - tail] == ord("i"):
             tail += 1
         if head and tstart_abs == self.lo:
-            self.cons = np.concatenate([codes[:head], self.cons])
+            self._prepend(codes[:head])
             self.lo -= head
             ops[:head] = ord("=")
             tstart_abs -= head
         if tail and tend_abs == self.hi and head + tail <= len(ops):
-            self.cons = np.concatenate([self.cons, codes[mlen - tail:]])
+            self._append(codes[mlen - tail:])
             ops[len(ops) - tail:] = ord("=")
 
         self.members.append(_Member(rid, is_rc, tstart_abs, ops, cost))
@@ -924,19 +964,24 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     device-side half of the pipeline)."""
     N = store.num_reads
     sketches = compute_all_sketches(store, cfg, report)
-    index = candidates.SketchIndex(sketches)
 
     # one batched query: all overlap-candidate pairs
-    pairs_q: list[np.ndarray] = []
-    pairs_r: list[np.ndarray] = []
-    B = cfg.sketch_batch_reads
-    for i in range(0, N, B):
-        q, r, _hits = index.query(sketches[i: i + B], cfg.overlap_sketch_threshold)
-        keep = (q + i) != r
-        pairs_q.append(q[keep] + i)
-        pairs_r.append(r[keep])
-    pq = np.concatenate(pairs_q) if pairs_q else np.zeros(0, np.int64)
-    pr = np.concatenate(pairs_r) if pairs_r else np.zeros(0, np.int64)
+    nat = candidates.all_pairs_native(sketches, cfg.overlap_sketch_threshold)
+    if nat is not None:
+        pq, pr, _cnt = nat
+    else:
+        index = candidates.SketchIndex(sketches)
+        pairs_q: list[np.ndarray] = []
+        pairs_r: list[np.ndarray] = []
+        B = cfg.sketch_batch_reads
+        for i in range(0, N, B):
+            q, r, _hits = index.query(sketches[i: i + B],
+                                      cfg.overlap_sketch_threshold)
+            keep = (q + i) != r
+            pairs_q.append(q[keep] + i)
+            pairs_r.append(r[keep])
+        pq = np.concatenate(pairs_q) if pairs_q else np.zeros(0, np.int64)
+        pr = np.concatenate(pairs_r) if pairs_r else np.zeros(0, np.int64)
     stats.minhash_hits += len(pq)
 
     # adjacency CSR over both directions
