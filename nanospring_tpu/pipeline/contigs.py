@@ -873,11 +873,11 @@ class _Wavefront:
             fwd_anchors=(r_h, r_p, r_f),
         )
 
-    def run_batch(self) -> None:
-        cfg = self.cfg
+    def collect_batch(self) -> tuple[list[_Placed], list[_Item]]:
+        """Pop + place up to align_batch frontier items (host-side work)."""
         batch: list[_Placed] = []
         consumed: list[_Item] = []
-        while self.queue and len(batch) < cfg.align_batch:
+        while self.queue and len(batch) < self.cfg.align_batch:
             it = self.queue.pop()
             consumed.append(it)
             if self.claimed[it.rid]:
@@ -886,26 +886,32 @@ class _Wavefront:
             p = self._place(it)
             if p is not None:
                 batch.append(p)
+        return batch, consumed
 
-        if batch:
-            t_parts = [self.states[p.item.cid].cons[p.wlo - self.states[p.item.cid].lo:
-                                                    p.whi - self.states[p.item.cid].lo]
-                       for p in batch]
-            q_parts = [p.codes[p.qlo:p.qhi] for p in batch]
-            t_len = np.array([len(t) for t in t_parts], dtype=np.int64)
-            q_len = np.array([len(q) for q in q_parts], dtype=np.int64)
-            t_off = np.zeros(len(batch), np.int64)
-            np.cumsum(t_len[:-1], out=t_off[1:])
-            q_off = np.zeros(len(batch), np.int64)
-            np.cumsum(q_len[:-1], out=q_off[1:])
-            res = self._align(
-                np.concatenate(t_parts), t_off, t_len,
+    def build_arrays(self, batch: list[_Placed]):
+        """Snapshot the batch's DP inputs (targets copied out of the live
+        consensus buffers, so later splices can't corrupt an in-flight DP)."""
+        if not batch:
+            return None
+        t_parts = [self.states[p.item.cid].cons[p.wlo - self.states[p.item.cid].lo:
+                                                p.whi - self.states[p.item.cid].lo]
+                   for p in batch]
+        q_parts = [p.codes[p.qlo:p.qhi] for p in batch]
+        t_len = np.array([len(t) for t in t_parts], dtype=np.int64)
+        q_len = np.array([len(q) for q in q_parts], dtype=np.int64)
+        t_off = np.zeros(len(batch), np.int64)
+        np.cumsum(t_len[:-1], out=t_off[1:])
+        q_off = np.zeros(len(batch), np.int64)
+        np.cumsum(q_len[:-1], out=q_off[1:])
+        return (np.concatenate(t_parts), t_off, t_len,
                 np.concatenate(q_parts), q_off, q_len,
-                np.array([p.d0_win for p in batch], np.int64),
-            )
+                np.array([p.d0_win for p in batch], np.int64))
+
+    def apply_batch(self, batch: list[_Placed], consumed: list[_Item],
+                    res: al.AlignResult | None) -> None:
+        if res is not None:
             for bi, p in enumerate(batch):
                 self._apply(p, res, bi)
-
         # decrement pending and finalize drained contigs
         for it in consumed:
             st = self.states.get(it.cid)
@@ -914,6 +920,12 @@ class _Wavefront:
             st.pending -= 1
             if st.pending == 0:
                 self._finalize(st)
+
+    def run_batch(self) -> None:
+        batch, consumed = self.collect_batch()
+        arrays = self.build_arrays(batch)
+        res = self._align(*arrays) if arrays else None
+        self.apply_batch(batch, consumed, res)
 
     def _apply(self, p: _Placed, res: al.AlignResult, bi: int) -> None:
         it = p.item
@@ -943,6 +955,12 @@ class _Wavefront:
                     if (ops != ord("i")).any() else 0)
         head_lost = head_run > 0 and tstart_abs == p.snap_lo and st.lo != p.snap_lo
         tail_lost = tail_run > 0 and tend_abs == p.snap_hi and st.hi != p.snap_hi
+        # Stale-placement variant (the DP pipeline places against a snapshot
+        # one batch older): the query was clipped to the snapshot extents and
+        # the contig has since grown past them — a fresh placement would
+        # align the clipped overhang instead of storing it as insertions.
+        head_lost |= head_run > 0 and p.qlo > 0 and st.lo < p.snap_lo
+        tail_lost |= tail_run > 0 and p.qhi < mlen and st.hi > p.snap_hi
         if (head_lost or tail_lost) and it.attempts < 8:
             it.attempts += 1
             self.queue.append(it)
@@ -1046,16 +1064,38 @@ def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
         expand.append(comp)
 
     # main loop: top the frontier up with fresh well-separated seeds
-    # (round-robin over components) so every alignment batch is full
-    while True:
+    # (round-robin over components) so every alignment batch is full.
+    # Two-stage software pipeline: while the banded DP for batch k runs in
+    # a worker thread (C++ releases the GIL; the TPU path is async anyway),
+    # the main thread places batch k+1 — anchoring/bookkeeping and the DP
+    # overlap instead of alternating (the reference interleaves them inside
+    # each OpenMP thread, src/Consensus.cpp:168-340).
+    import concurrent.futures as _cf
+
+    def _top_up():
         while len(wf.queue) < cfg.frontier_target and expand:
             if wf.activate_next_in_comp(expand[0], fresh_only=True):
                 expand.rotate(-1)
             else:
                 expand.popleft()
-        if not wf.queue:
-            break
-        wf.run_batch()
+
+    with _cf.ThreadPoolExecutor(1) as _pool:
+        fut = None
+        inflight = None
+        while True:
+            _top_up()
+            batch, consumed = wf.collect_batch()
+            arrays = wf.build_arrays(batch)
+            nfut = _pool.submit(wf._align, *arrays) if arrays else None
+            if inflight is not None:
+                wf.apply_batch(inflight[0], inflight[1],
+                               fut.result() if fut is not None else None)
+            fut = nfut
+            inflight = (batch, consumed) if (batch or consumed) else None
+            # applying a batch can finalize+reseed (new queue items), so
+            # only stop when nothing is in flight and nothing is queued
+            if fut is None and inflight is None and not wf.queue and not expand:
+                break
     # residual drain: components whose leftovers weren't reseeded yet
     for comp in list(wf._comp_members.keys()):
         while wf.activate_next_in_comp(comp):
