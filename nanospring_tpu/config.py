@@ -68,10 +68,16 @@ class CompressConfig:
         return self.num_threads or (os.cpu_count() or 1)
 
     def resolved_workers(self) -> int:
-        """Contig-growing worker processes (owner-computes over components)."""
+        """Contig-growing worker processes (owner-computes over components).
+
+        Each worker runs a 2-thread software pipeline (placement thread +
+        OpenMP DP), so one worker per two cores; fewer cores than that and
+        the single pipelined worker wins outright.
+        """
         if self.pipeline_workers:
             return self.pipeline_workers
-        return min(self.resolved_threads(), os.cpu_count() or 1)
+        cores = os.cpu_count() or 1
+        return max(1, min(self.resolved_threads(), cores) // 2)
 
     def resolved_work_root(self) -> str:
         return self.work_dir or tempfile.gettempdir()

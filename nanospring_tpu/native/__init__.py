@@ -18,7 +18,8 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
-            "minimizers.cpp", "hot.cpp", "polish.cpp", "join.cpp"]
+            "minimizers.cpp", "hot.cpp", "polish.cpp", "join.cpp",
+            "anchors.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -131,5 +132,18 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_join_fetch.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
             lib.ns_join_free.restype = None
             lib.ns_join_free.argtypes = [ctypes.c_void_p]
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.ns_anchor_prepare.restype = i64
+            lib.ns_anchor_prepare.argtypes = [u64p, i64p, u8p, i64]
+            lib.ns_anchor_join.restype = i32
+            lib.ns_anchor_join.argtypes = [
+                u64p, i64p, u8p, i64, u64p, i64p, u8p, i64,
+                i64, i32, i32, i32p, i64p, i64p,
+            ]
+            lib.ns_accept_anchors.restype = i64
+            lib.ns_accept_anchors.argtypes = [
+                u8p, i64, i64, i64, i32, i32,
+                u64p, i64p, u8p, i64, u64p, i64p, u8p,
+            ]
             _LIB = lib
     return _LIB

@@ -145,6 +145,126 @@ def match_anchors(
     return is_rc, int(np.median(diag)), votes
 
 
+def _lib_or_none():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from .. import native
+
+            native.get_lib()
+            _NATIVE = True
+        except Exception:
+            _NATIVE = False
+    if not _NATIVE:
+        return None
+    from .. import native
+
+    return native.get_lib()
+
+
+def prepare_anchors(h: np.ndarray, p: np.ndarray, f: np.ndarray):
+    """Sorted-unique anchor table (by hash; smallest position wins).
+
+    Pre-sorting at table-build time turns every subsequent match into a
+    linear merge-join (the numpy match re-sorted the parent table per
+    candidate). np.unique keeps the first occurrence — same rule.
+    """
+    lib = _lib_or_none()
+    p = np.ascontiguousarray(p, dtype=np.int64)
+    if lib is not None and len(h):
+        import ctypes
+
+        h = np.ascontiguousarray(h, dtype=np.uint64)
+        fu = np.ascontiguousarray(f, dtype=np.uint8)
+        m = lib.ns_anchor_prepare(
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            fu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(h)),
+        )
+        return h[:m], p[:m], fu[:m].astype(bool)
+    ua, ia = np.unique(h, return_index=True)
+    return ua, p[ia], np.asarray(f, dtype=bool)[ia]
+
+
+def match_anchors_prepared(
+    h_a, pos_a, fwd_a, h_b, pos_b, fwd_b, len_b: int, k: int,
+    max_anchors: int = 400,
+):
+    """match_anchors for tables already prepared (sorted unique)."""
+    lib = _lib_or_none()
+    if lib is None:
+        return match_anchors(h_a, pos_a, fwd_a, h_b, pos_b, fwd_b,
+                             len_b, k, max_anchors)
+    import ctypes
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    fa = np.ascontiguousarray(fwd_a, dtype=np.uint8)
+    fb = np.ascontiguousarray(fwd_b, dtype=np.uint8)
+    is_rc = ctypes.c_int32()
+    d0 = ctypes.c_int64()
+    votes = ctypes.c_int64()
+    found = lib.ns_anchor_join(
+        np.ascontiguousarray(h_a, np.uint64).ctypes.data_as(u64p),
+        np.ascontiguousarray(pos_a, np.int64).ctypes.data_as(i64p),
+        fa.ctypes.data_as(u8p), ctypes.c_int64(len(h_a)),
+        np.ascontiguousarray(h_b, np.uint64).ctypes.data_as(u64p),
+        np.ascontiguousarray(pos_b, np.int64).ctypes.data_as(i64p),
+        fb.ctypes.data_as(u8p), ctypes.c_int64(len(h_b)),
+        ctypes.c_int64(len_b), ctypes.c_int32(k),
+        ctypes.c_int32(max_anchors),
+        ctypes.byref(is_rc), ctypes.byref(d0), ctypes.byref(votes),
+    )
+    if not found:
+        return None
+    return bool(is_rc.value), int(d0.value), int(votes.value)
+
+
+def accept_anchors(ops: np.ndarray, tstart_abs: int, mlen: int, is_rc: int,
+                   k: int, h: np.ndarray, p: np.ndarray, f: np.ndarray):
+    """Accepted member's anchor table: mirror (if rc), drop anchors inside
+    insertion runs, map positions to target coords. Native one-pass with a
+    numpy fallback (both orderings sorted-unique by hash)."""
+    lib = _lib_or_none()
+    if lib is not None:
+        import ctypes
+
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = len(h)
+        oh = np.empty(n, np.uint64)
+        otp = np.empty(n, np.int64)
+        of = np.empty(n, np.uint8)
+        opsu = np.ascontiguousarray(ops, np.uint8)
+        m = lib.ns_accept_anchors(
+            opsu.ctypes.data_as(u8p), ctypes.c_int64(len(ops)),
+            ctypes.c_int64(tstart_abs), ctypes.c_int64(mlen),
+            ctypes.c_int32(int(is_rc)), ctypes.c_int32(k),
+            np.ascontiguousarray(h, np.uint64).ctypes.data_as(u64p),
+            np.ascontiguousarray(p, np.int64).ctypes.data_as(i64p),
+            np.ascontiguousarray(f, np.uint8).ctypes.data_as(u8p),
+            ctypes.c_int64(n),
+            oh.ctypes.data_as(u64p), otp.ctypes.data_as(i64p),
+            of.ctypes.data_as(u8p),
+        )
+        return oh[:m], otp[:m], of[:m].astype(bool)
+    # numpy fallback (same semantics)
+    p = np.asarray(p, np.int64)
+    f = np.asarray(f, bool)
+    if is_rc:
+        p = (mlen - k) - p
+        f = ~f
+    p = np.clip(p, 0, mlen - 1)
+    consumes_q = ops != ord("d")
+    qop = ops[consumes_q]
+    keep = qop[p] != ord("i")
+    q2t = qpos_to_tpos_map(ops, tstart_abs, mlen)
+    return np.asarray(h)[keep], q2t[p][keep], f[keep]
+
+
 def qpos_to_tpos_map(ops: np.ndarray, tstart: int, q_len: int) -> np.ndarray:
     """Map query positions -> target positions through an alignment's ops.
 

@@ -237,7 +237,7 @@ class _ContigState:
         ops = np.full(len(codes), ord("="), dtype=np.uint8)
         self.members.append(_Member(rid, 0, 0, ops, 0))
         h, p, f = mz.minimizers(codes, self.cfg.seed_kmer_size, self.cfg.seed_window)
-        self.anchors[rid] = (h, p.astype(np.int64), f)
+        self.anchors[rid] = mz.prepare_anchors(h, p.astype(np.int64), f)
         self.total_aligned += len(codes)
 
     def accept(self, rid: int, is_rc: int, tstart_abs: int, tend_abs: int,
@@ -276,15 +276,11 @@ class _ContigState:
         # no target position (q2t collapses whole runs onto one cursor
         # value), and anchors built there would hand children wildly wrong
         # diagonals — a self-reinforcing misplacement cascade.
+        # fwd_anchors is already prepared (sorted-unique), so the output
+        # table is too (native one-pass in ops/minimizers.accept_anchors).
         h, p, f = fwd_anchors
-        if is_rc:
-            h, p, f = _mirror_anchors(h, p, f, mlen, cfg.seed_kmer_size)
-        p = np.clip(p, 0, mlen - 1)
-        consumes_q = ops != ord("d")
-        qop = ops[consumes_q]                      # op consuming q position i
-        keep = qop[p] != ord("i")
-        q2t = mz.qpos_to_tpos_map(ops, tstart_abs, mlen)
-        self.anchors[rid] = (h[keep], q2t[p][keep], f[keep])
+        self.anchors[rid] = mz.accept_anchors(
+            ops, tstart_abs, mlen, is_rc, cfg.seed_kmer_size, h, p, f)
 
 
 def _polish_contig(state: _ContigState, store) -> None:
@@ -827,8 +823,9 @@ class _Wavefront:
     def _forward_minimizers(self, rid: int, codes: np.ndarray):
         a = self._mz_cache.get(rid)
         if a is None:
-            a = mz.minimizers(codes, self.cfg.seed_kmer_size, self.cfg.seed_window)
-            a = (a[0], a[1].astype(np.int64), a[2])
+            h, p, f = mz.minimizers(codes, self.cfg.seed_kmer_size,
+                                    self.cfg.seed_window)
+            a = mz.prepare_anchors(h, p.astype(np.int64), f)
             self._mz_cache[rid] = a
         return a
 
@@ -845,7 +842,7 @@ class _Wavefront:
         r_h, r_p, r_f = self._forward_minimizers(it.rid, codes_fwd)
         if len(r_h) == 0:
             return None
-        m = mz.match_anchors(
+        m = mz.match_anchors_prepared(
             pa[0], pa[1], pa[2], r_h, r_p, r_f, len(codes_fwd),
             cfg.seed_kmer_size, max_anchors=cfg.max_chain_iter,
         )
