@@ -24,8 +24,8 @@ import lzma
 import struct
 import zlib
 
-_CHUNK = 16 << 20  # block-chunked like the reference's 48 MB bsc blocks;
-                   # 16 MB so thread pools parallelize medium streams too
+_CHUNK = 8 << 20   # block-chunked like the reference's 48 MB bsc blocks;
+                   # 8 MB so thread pools parallelize medium streams too
 
 _LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
 
@@ -105,6 +105,23 @@ def register(name: str, compress_fn, decompress_fn) -> None:
     _BACKENDS[name] = (compress_fn, decompress_fn)
 
 
+def split_chunks(data: bytes) -> list[bytes]:
+    """The chunking used by compress(), exposed so callers can flatten
+    (stream, chunk) jobs across one pool (io/archive.py)."""
+    return [data[i: i + _CHUNK] for i in range(0, len(data), _CHUNK)] or [b""]
+
+
+def compress_chunk(name: str, chunk: bytes) -> bytes:
+    return _BACKENDS[name][0](chunk)
+
+
+def assemble_chunks(payloads: list[bytes]) -> bytes:
+    header = struct.pack("<I", len(payloads)) + b"".join(
+        struct.pack("<Q", len(p)) for p in payloads
+    )
+    return header + b"".join(payloads)
+
+
 def compress(name: str, data: bytes, pool: cf.Executor | None = None) -> bytes:
     """Chunked compression: [u32 nchunks][u64 raw_len per chunk][payloads...].
 
@@ -121,6 +138,26 @@ def compress(name: str, data: bytes, pool: cf.Executor | None = None) -> bytes:
         struct.pack("<Q", len(p)) for p in payloads
     )
     return header + b"".join(payloads)
+
+
+def split_payloads(data: bytes) -> list[bytes]:
+    """Inverse of assemble_chunks: the coded chunk payloads."""
+    (nchunks,) = struct.unpack_from("<I", data, 0)
+    off = 4
+    sizes = []
+    for _ in range(nchunks):
+        (sz,) = struct.unpack_from("<Q", data, off)
+        sizes.append(sz)
+        off += 8
+    payloads = []
+    for sz in sizes:
+        payloads.append(data[off: off + sz])
+        off += sz
+    return payloads
+
+
+def decompress_chunk(name: str, payload: bytes) -> bytes:
+    return _BACKENDS[name][1](payload)
 
 
 def decompress(name: str, data: bytes, pool: cf.Executor | None = None) -> bytes:

@@ -47,14 +47,29 @@ def write_archive(
     meta["codecs"] = codec_map
     sizes: dict[str, int] = {}
 
-    def _job(name: str) -> tuple[str, bytes]:
-        raw = stream_set.get(name)
-        return name, backends.compress(codec_map[name], raw)
+    # flatten (stream, chunk) jobs so one pool parallelizes both across
+    # streams and within big streams (the reference parallelizes only at
+    # the file level, src/Compressor.cpp:121-134)
+    chunked = {n: backends.split_chunks(stream_set.get(n))
+               for n in st.STREAM_NAMES}
+    jobs = [(n, i, ch) for n, chs in chunked.items()
+            for i, ch in enumerate(chs)]
+    jobs.sort(key=lambda t: -len(t[2]))  # big chunks first: better packing
 
-    if pool is not None:
-        coded = dict(pool.map(_job, st.STREAM_NAMES))
-    else:
-        coded = dict(_job(n) for n in st.STREAM_NAMES)
+    def _job(t):
+        n, i, ch = t
+        return n, i, backends.compress_chunk(codec_map[n], ch)
+
+    results = list(pool.map(_job, jobs)) if pool is not None else [
+        _job(t) for t in jobs
+    ]
+    coded = {}
+    for n, chs in chunked.items():
+        payloads = [None] * len(chs)
+        for rn, ri, p in results:
+            if rn == n:
+                payloads[ri] = p
+        coded[n] = backends.assemble_chunks(payloads)
 
     with open(out_path, "wb") as f:
         f.write(_MAGIC)
@@ -111,12 +126,23 @@ def read_archive(
     meta, coded = _read_native(path) if is_native else _read_tar(path)
     codec_map = meta["codecs"]
 
-    def _job(name: str) -> tuple[str, np.ndarray]:
-        raw = backends.decompress(codec_map[name], coded[name])
-        return name, np.frombuffer(raw, dtype=np.uint8)
+    # flatten (stream, chunk) decode jobs across the pool (see write side)
+    chunked = {n: backends.split_payloads(d) for n, d in coded.items()}
+    jobs = [(n, i, p) for n, ps in chunked.items() for i, p in enumerate(ps)]
+    jobs.sort(key=lambda t: -len(t[2]))
 
-    if pool is not None:
-        out = dict(pool.map(_job, coded.keys()))
-    else:
-        out = dict(_job(n) for n in coded)
+    def _job(t):
+        n, i, p = t
+        return n, i, backends.decompress_chunk(codec_map[n], p)
+
+    results = list(pool.map(_job, jobs)) if pool is not None else [
+        _job(t) for t in jobs
+    ]
+    out = {}
+    for n, ps in chunked.items():
+        parts = [None] * len(ps)
+        for rn, ri, p in results:
+            if rn == n:
+                parts[ri] = p
+        out[n] = np.frombuffer(b"".join(parts), dtype=np.uint8)
     return meta, out
