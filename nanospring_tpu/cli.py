@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--work-dir", default=None, help="temp dir root")
     p.add_argument("--low-mem", action="store_true")
     p.add_argument("--no-assembly", action="store_true", help="store all reads lone")
+    p.add_argument("--checks", action="store_true",
+                   help="edit-script replay invariants after every accept "
+                        "(the reference's -DCHECKS build, CMakeLists.txt:32)")
     p.add_argument(
         "-m", "--decompression-memory", type=float, default=5.0, help="GB for reorder"
     )
@@ -97,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             low_mem=args.low_mem,
             work_dir=args.work_dir,
             disable_assembly=args.no_assembly,
+            checks=args.checks,
         )
         from .compressor import compress_file
 

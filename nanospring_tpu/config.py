@@ -47,6 +47,10 @@ class CompressConfig:
 
     # --- pipeline selection ---
     disable_assembly: bool = False     # True: every read stored lone (testing)
+    checks: bool = False               # validate every member's edit script
+                                       # against the live consensus (the
+                                       # reference's -DCHECKS replay equality,
+                                       # src/Consensus.cpp:280-337); slow
     aligner: str = "auto"              # "native" (C++), "tpu" (Pallas kernel);
                                        # "auto" = native (host cores beat one
                                        # tunneled chip; see contigs._align)

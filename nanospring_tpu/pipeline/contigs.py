@@ -283,6 +283,42 @@ class _ContigState:
             ops, tstart_abs, mlen, is_rc, cfg.seed_kmer_size, h, p, f)
 
 
+def _check_member(st: _ContigState, m: _Member, codes: np.ndarray | None = None,
+                  store=None) -> None:
+    """Edit-script replay equality: walking the member's op tape over the
+    live consensus must reproduce the oriented read exactly ('=' ops match,
+    cursors end exactly at read/consensus bounds). The reference runs the
+    same invariant after every alignment and graph update under -DCHECKS
+    (src/Consensus.cpp:280-337, src/ConsensusGraph.cpp:1187-1239)."""
+    if codes is None:
+        codes = _orient_codes(store.get_codes(m.rid), m.strand)
+    ops = m.ops
+    consumes_t = ops != ord("i")
+    consumes_q = ops != ord("d")
+    if int(consumes_q.sum()) != len(codes):
+        raise AssertionError(
+            f"rid {m.rid}: ops consume {int(consumes_q.sum())} query bases, "
+            f"read has {len(codes)}")
+    tcol = (m.tstart - st.lo) + np.cumsum(consumes_t) - consumes_t
+    qpos = np.cumsum(consumes_q) - consumes_q
+    eq = ops == ord("=")
+    cols = tcol[eq]
+    if len(cols) and (cols.min() < 0 or cols.max() >= len(st.cons)):
+        raise AssertionError(f"rid {m.rid}: '=' column out of consensus bounds")
+    if not np.array_equal(st.cons[cols], codes[qpos[eq]]):
+        raise AssertionError(f"rid {m.rid}: '=' ops disagree with consensus")
+    sub = ops == ord("s")
+    if sub.any() and (st.cons[tcol[sub]] == codes[qpos[sub]]).any():
+        raise AssertionError(f"rid {m.rid}: 's' op where bases match")
+
+
+def check_contigs(states: list, store) -> None:
+    """Run the -DCHECKS invariants over every member of every contig."""
+    for st in states:
+        for m in st.members:
+            _check_member(st, m, store=store)
+
+
 def _polish_contig(state: _ContigState, store) -> None:
     """Majority-vote substitution polish of the consensus (one pass).
 
@@ -968,6 +1004,8 @@ class _Wavefront:
         self._mz_cache.pop(it.rid, None)
         st.accept(it.rid, p.is_rc, tstart_abs, tend_abs, ops,
                   int(res.cost[bi]), p.codes, p.fwd_anchors)
+        if self.cfg.checks:
+            _check_member(st, st.members[-1], p.codes)
         self._enqueue_children(st, it.rid)
         if st.total_aligned > self.cfg.edge_threshold:
             st.closed = True
@@ -1110,6 +1148,8 @@ def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
                 _polish_contig(st, store)
                 _polish_indels(st, store)
                 _polish_contig(st, store)
+    if cfg.checks:
+        check_contigs(wf.done, store)
     return _emit_group(wf.done, store)
 
 

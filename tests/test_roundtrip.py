@@ -86,3 +86,19 @@ def test_low_mem_store(tmp_path):
     reads = synth.make_reads(genome, 30, 1_000, rng)
     cfg = CompressConfig(disable_assembly=True, low_mem=True, work_dir=str(tmp_path))
     _roundtrip(tmp_path, reads, cfg=cfg)
+
+
+def test_checks_mode_invariants(tmp_path):
+    """cfg.checks validates every accepted edit script against the live
+    consensus (the reference's -DCHECKS replay equality)."""
+    from nanospring_tpu import compressor
+    from nanospring_tpu.config import CompressConfig
+    from nanospring_tpu.utils import synth
+
+    fq = str(tmp_path / "r.fastq")
+    synth.make_dataset(fq, genome_len=50_000, num_reads=200, mean_len=1500,
+                       seed=31, p_n_base=0.001)
+    cfg = CompressConfig(pipeline_workers=1, checks=True)
+    res = compressor.compress_file(fq, str(tmp_path / "o.nstpu"), cfg,
+                                   report=False)
+    assert res["ratio"] > 1.0
