@@ -267,36 +267,52 @@ def banded_align_batch_tpu(
     if m_pad > M_PAD_MAX:
         raise ValueError(f"query length {np.max(q_len)} exceeds TPU kernel "
                          f"limit {M_PAD_MAX}")
+    # sort pairs by query length (descending) so each 8-pair block is
+    # length-homogeneous: a block runs max(m of its 8) DP rows, so mixing
+    # one long query with seven short ones wastes 7/8 of the block's work
+    order = np.argsort(-q_len, kind="stable")
+    q_len_s = np.asarray(q_len)[order].astype(np.int64)
+    t_len_s = np.asarray(t_len)[order].astype(np.int64)
+    q_off_s = np.asarray(q_off)[order].astype(np.int64)
+    t_off_s = np.asarray(t_off)[order].astype(np.int64)
+    d0_s = np.asarray(d0)[order].astype(np.int64)
+
     blocks = max(1, -(-P // _SUB))
     if batch_pad:
         blocks = 1 << max(2, int(blocks - 1).bit_length())
     p_pad = blocks * _SUB
 
-    tpad = np.zeros((blocks, _SUB, m_pad + 2 * _W2), dtype=np.uint8)
-    tpad[:] = 0xFF
-    qbuf = np.zeros((blocks, _SUB, m_pad + _W2), dtype=np.int32)
+    tw = m_pad + 2 * _W2
+    qw = m_pad + _W2
+    tpad = np.full((p_pad, tw), 0xFF, dtype=np.uint8)
+    qbuf = np.zeros((p_pad, qw), dtype=np.int32)
+    pidx = np.arange(P, dtype=np.int64)
+    # queries: ragged scatter, one pass over all bases
+    tgt = _expand(pidx * qw, q_len_s)
+    src = _expand(q_off_s, q_len_s)
+    qbuf.reshape(-1)[tgt] = queries_flat[src]
+    # targets: tpad[x] = t[x + d0 - (_KOFF+1)], clipped to [0, n)
+    lo = d0_s - (_KOFF + 1)
+    st = np.maximum(0, -lo)
+    en = np.minimum(tw, t_len_s - lo)
+    ln = np.maximum(0, en - st)
+    tgt = _expand(pidx * tw + st, ln)
+    src = _expand(t_off_s + lo + st, ln)
+    tpad.reshape(-1)[tgt] = targets_flat[src]
+
     d0a = np.zeros(p_pad, np.int32)
     qla = np.zeros(p_pad, np.int32)
     tla = np.zeros(p_pad, np.int32)
     mca = np.zeros(p_pad, np.int32)
-    for p in range(P):
-        b, s = divmod(p, _SUB)
-        mm = int(q_len[p])
-        nn = int(t_len[p])
-        qbuf[b, s, :mm] = queries_flat[q_off[p]: q_off[p] + mm]
-        # tpad[x] = t[x + d0 - (_KOFF+1)], clipped to [0, n)
-        lo = int(d0[p]) - (_KOFF + 1)
-        st = max(0, -lo)
-        e = min(m_pad + 2 * _W2, nn - lo)
-        if e > st:
-            tpad[b, s, st:e] = targets_flat[t_off[p] + lo + st: t_off[p] + lo + e]
-        d0a[p] = d0[p]
-        qla[p] = mm
-        tla[p] = nn
-        mca[p] = mm * max_cost_per_kb // 1000 + 8
+    d0a[:P] = d0_s
+    qla[:P] = q_len_s
+    tla[:P] = t_len_s
+    mca[:P] = q_len_s * max_cost_per_kb // 1000 + 8
 
     cost, ops_len, ts, te, trace = _align_padded(
-        d0a, qla, tla, mca, tpad, qbuf, m_pad=m_pad, interpret=interpret
+        d0a, qla, tla, mca,
+        tpad.reshape(blocks, _SUB, tw), qbuf.reshape(blocks, _SUB, qw),
+        m_pad=m_pad, interpret=interpret,
     )
     cost = np.asarray(cost)[:P].astype(np.int32)
     ops_len = np.asarray(ops_len)[:P].astype(np.int64)
@@ -308,26 +324,50 @@ def banded_align_batch_tpu(
     ops_len[bad] = 0
     ts[bad] = 0
     te[bad] = 0
-    cap = m_pad + m_pad // 2 + 128
-    out_flat = np.zeros(P * cap, dtype=np.uint8)
-    ops_off = np.arange(P, dtype=np.int64) * cap
-    for p in range(P):
-        if cost[p] < 0 or q_len[p] == 0:
-            continue
-        mm = int(q_len[p])
-        row = trace[p, :mm].astype(np.int64)
-        dels = row & 0xFFFF
-        optype = (row >> 16) & 3
-        mbit = (row >> 18) & 1
-        opchar = np.where(
-            optype == 1, np.uint8(ord("i")),
-            np.where(mbit == 1, np.uint8(ord("=")), np.uint8(ord("s"))),
-        )
-        L = int(mm + dels.sum())
-        assert L == ops_len[p], (L, ops_len[p])
-        seg = np.full(L, ord("d"), dtype=np.uint8)
-        lens = 1 + dels
-        pos = np.cumsum(lens) - lens
-        seg[pos] = opchar
-        out_flat[ops_off[p]: ops_off[p] + L] = seg
-    return AlignResult(cost, ts, te, out_flat, ops_off, ops_len)
+
+    # ops-byte expansion, vectorized across the whole batch: each per-row
+    # record (dels | optype<<16 | match<<18) becomes dels 'd' bytes + one
+    # '='/'s'/'i' byte, scattered into a contiguous ops buffer
+    mm_ok = np.where(cost >= 0, q_len_s[:P], 0)  # trace rows: SORTED order
+    rec_idx = _expand(np.arange(P, dtype=np.int64) * trace.shape[1], mm_ok)
+    rec = trace.reshape(-1)[rec_idx].astype(np.int64)
+    dels = rec & 0xFFFF
+    optype = (rec >> 16) & 3
+    mbit = (rec >> 18) & 1
+    opchar = np.where(
+        optype == 1, np.uint8(ord("i")),
+        np.where(mbit == 1, np.uint8(ord("=")), np.uint8(ord("s"))),
+    ).astype(np.uint8)
+    ops_off_s = np.zeros(P, np.int64)
+    np.cumsum(ops_len[:-1], out=ops_off_s[1:])
+    total = int(ops_len.sum())
+    assert int(mm_ok.sum() + dels.sum()) == total, "trace/ops_len mismatch"
+    out_flat = np.full(total, ord("d"), dtype=np.uint8)
+    # each record emits (1 op byte + dels 'd' bytes); the op byte's offset
+    # within its pair = segmented-exclusive-cumsum(1 + dels)
+    rec_pair = np.repeat(np.arange(P, dtype=np.int64), mm_ok)
+    step = 1 + dels
+    excl = np.cumsum(step) - step
+    if len(rec):
+        first_rec = np.zeros(P + 1, np.int64)
+        np.cumsum(mm_ok, out=first_rec[1:])
+        seg_base = np.repeat(excl[first_rec[:-1][mm_ok > 0]], mm_ok[mm_ok > 0])
+        out_flat[ops_off_s[rec_pair] + excl - seg_base] = opchar
+
+    # un-sort back to caller order
+    inv = np.empty(P, np.int64)
+    inv[order] = np.arange(P)
+    return AlignResult(cost[inv], ts[inv], te[inv], out_flat,
+                       ops_off_s[inv], ops_len[inv])
+
+
+def _expand(offs: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Flat indices [offs[i], offs[i]+sizes[i]) concatenated."""
+    sizes = np.asarray(sizes, np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    excl = np.zeros(len(sizes), np.int64)
+    np.cumsum(sizes[:-1], out=excl[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, sizes)
+    return np.repeat(np.asarray(offs, np.int64), sizes) + within
