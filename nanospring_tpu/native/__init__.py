@@ -19,7 +19,7 @@ _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
             "minimizers.cpp", "hot.cpp", "polish.cpp", "join.cpp",
-            "anchors.cpp"]
+            "anchors.cpp", "engine.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -145,5 +145,20 @@ def get_lib() -> ctypes.CDLL:
                 u8p, i64, i64, i64, i32, i32,
                 u64p, i64p, u8p, i64, u64p, i64p, u8p,
             ]
+            lib.ns_engine_run.restype = ctypes.c_void_p
+            lib.ns_engine_run.argtypes = [
+                u8p, i64p, i64p, i64,
+                i64p, i64p, i64p,
+                i64p, i64p, i64p, i64,
+                u8p, i64p,
+                i64p, i64p, i64p, i64p, i64p,
+            ]
+            lib.ns_engine_fetch.restype = None
+            lib.ns_engine_fetch.argtypes = [
+                ctypes.c_void_p, u8p, i64p, i64p,
+                i64p, u8p, i64p, i64p, u8p,
+            ]
+            lib.ns_engine_free.restype = None
+            lib.ns_engine_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
     return _LIB

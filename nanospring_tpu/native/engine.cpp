@@ -1,0 +1,630 @@
+// Native wavefront contig engine: the whole grow loop in C++.
+//
+// Same algorithm as pipeline/contigs.py::_Wavefront (which remains the
+// readable oracle and the TPU-aligner path): seed well-separated contigs
+// per overlap component, drain a frontier of (contig, candidate, parent)
+// items in batches, anchor each candidate on its BFS parent's anchor
+// table, verify with one banded-DP batch (OpenMP), splice overhangs into
+// the consensus, re-enqueue neighbors. The reference's equivalent hot
+// loop is Consensus::generateAndWriteConsensus + addRelatedReads
+// (src/Consensus.cpp:21-340) with per-thread pointer-DAG contigs.
+//
+// Differences from the Python engine: placement happens after the
+// previous batch is applied (fresh extents; the Python engine pipelines
+// placement against a one-batch-stale snapshot because its placement is
+// the bottleneck — here placement is cheap and the DP batch is the only
+// parallel section). The stale-clip retry rules are kept identical.
+//
+// C ABI, handle pattern. Calls sibling TUs' C functions directly.
+
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+inline double now_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+}  // namespace
+
+extern "C" {
+int64_t ns_minimizers(const uint8_t*, int64_t, int32_t, int32_t,
+                      uint64_t*, int64_t*, uint8_t*);
+int64_t ns_anchor_prepare(uint64_t*, int64_t*, uint8_t*, int64_t);
+int32_t ns_anchor_join(const uint64_t*, const int64_t*, const uint8_t*, int64_t,
+                       const uint64_t*, const int64_t*, const uint8_t*, int64_t,
+                       int64_t, int32_t, int32_t, int32_t*, int64_t*, int64_t*);
+int64_t ns_accept_anchors(const uint8_t*, int64_t, int64_t, int64_t, int32_t,
+                          int32_t, const uint64_t*, const int64_t*,
+                          const uint8_t*, int64_t,
+                          uint64_t*, int64_t*, uint8_t*);
+int32_t ns_banded_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                        int64_t, int32_t, int32_t,
+                        uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
+}
+
+namespace {
+
+enum Param {
+    P_SEED_K = 0, P_SEED_W, P_MAX_CHAIN, P_BAND, P_MAXCOST_KB,
+    P_MIN_OVERLAP, P_ALIGN_BATCH, P_FRONTIER, P_EDGE_THR, P_MIN_LEN,
+    P_MAX_ATTEMPTS, P_COUNT
+};
+
+struct Anchors {
+    std::vector<uint64_t> h;
+    std::vector<int64_t> p;
+    std::vector<uint8_t> f;
+};
+
+struct Member {
+    int64_t rid;
+    uint8_t strand;
+    int64_t tstart;               // absolute consensus coords
+    std::vector<uint8_t> ops;
+};
+
+struct Contig {
+    int64_t cid = 0;
+    std::vector<uint8_t> buf;     // consensus with slack
+    int64_t start = 0, len = 0;   // cons = buf[start : start+len]
+    int64_t lo = 0;               // consensus coord of cons[0]
+    std::vector<Member> members;
+    int64_t total_aligned = 0;
+    int64_t pending = 0;
+    bool closed = false;
+    std::unordered_map<int64_t, Anchors> anchors;
+    std::unordered_set<int64_t> visited;
+
+    int64_t hi() const { return lo + len; }
+    const uint8_t* cons() const { return buf.data() + start; }
+    void prepend(const uint8_t* codes, int64_t n) {
+        if (n > start) {
+            const int64_t grow = std::max(n, len) + 512;
+            std::vector<uint8_t> nb((size_t)(grow + start + (int64_t)buf.size()));
+            std::memcpy(nb.data() + grow + start, cons(), (size_t)len);
+            buf.swap(nb);
+            start += grow;
+        }
+        start -= n;
+        len += n;
+        std::memcpy(buf.data() + start, codes, (size_t)n);
+    }
+    void append(const uint8_t* codes, int64_t n) {
+        if (start + len + n > (int64_t)buf.size()) {
+            const int64_t grow = std::max(n, len) + 512;
+            std::vector<uint8_t> nb(buf.size() + (size_t)grow);
+            std::memcpy(nb.data() + start, cons(), (size_t)len);
+            buf.swap(nb);
+        }
+        std::memcpy(buf.data() + start + len, codes, (size_t)n);
+        len += n;
+    }
+};
+
+struct Item {
+    int64_t cid, rid, parent;
+    int32_t attempts = 0;
+};
+
+struct Placed {
+    Item item;
+    int32_t is_rc;
+    std::vector<uint8_t> codes;   // oriented full query
+    int64_t qlo, qhi, wlo, whi, snap_lo, snap_hi, d0_win;
+    // DP outputs
+    std::vector<uint8_t> ops;
+    int64_t ops_len = 0, tstart = 0, tend = 0;
+    int32_t cost = -1;
+};
+
+struct Engine {
+    // inputs
+    const uint8_t* packed;
+    const int64_t* offsets;
+    const int64_t* lengths;
+    const int64_t* adj_off;
+    const int64_t* adj;
+    const int64_t* comp_of;
+    uint8_t* claimed;
+    std::vector<uint8_t> touched;
+    int64_t N;
+    int64_t prm[P_COUNT];
+
+    // component seeding state (registration order preserved)
+    std::vector<int64_t> comp_ids;
+    std::vector<const int64_t*> comp_members;
+    std::vector<int64_t> comp_size, comp_cursor;
+    std::vector<int8_t> comp_phase;     // 0 fresh, 1 residual, 2 exhausted
+    std::unordered_map<int64_t, int64_t> comp_slot;     // comp id -> index
+    std::unordered_map<int64_t, int64_t> comp_active;   // comp id -> live contigs
+
+    // runtime
+    std::unordered_map<int64_t, Contig> states;
+    std::vector<Item> queue;            // LIFO (pop from back)
+    std::vector<Contig> done;
+    std::unordered_map<int64_t, Anchors> mz_cache;
+    int64_t next_cid = 0;
+    int64_t stat_not_claimed = 0, stat_aligned_ok = 0;
+    double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
+    int64_t n_dp = 0, dp_bases = 0;
+    int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
+
+    std::vector<uint8_t> scratch;       // forward-unpack buffer
+
+    const uint8_t* unpack_fwd(int64_t rid) {
+        const int64_t len = lengths[rid];
+        if ((int64_t)scratch.size() < len) scratch.resize((size_t)len + 64);
+        const uint8_t* src = packed + offsets[rid];
+        for (int64_t i = 0; i < len; ++i)
+            scratch[(size_t)i] = (src[i / 4] >> (2 * (i % 4))) & 3;
+        return scratch.data();
+    }
+
+    void unpack_oriented(int64_t rid, int32_t is_rc, std::vector<uint8_t>& out) {
+        const int64_t len = lengths[rid];
+        out.resize((size_t)len);
+        const uint8_t* src = packed + offsets[rid];
+        if (!is_rc) {
+            for (int64_t i = 0; i < len; ++i)
+                out[(size_t)i] = (src[i / 4] >> (2 * (i % 4))) & 3;
+        } else {
+            for (int64_t i = 0; i < len; ++i)
+                out[(size_t)(len - 1 - i)] =
+                    3 - ((src[i / 4] >> (2 * (i % 4))) & 3);
+        }
+    }
+
+    const Anchors& forward_minimizers(int64_t rid) {
+        auto it = mz_cache.find(rid);
+        if (it != mz_cache.end()) return it->second;
+        const int64_t len = lengths[rid];
+        Anchors a;
+        const int64_t cap = std::max<int64_t>(1, len - prm[P_SEED_K] + 1);
+        a.h.resize((size_t)cap);
+        a.p.resize((size_t)cap);
+        a.f.resize((size_t)cap);
+        const uint8_t* codes = unpack_fwd(rid);
+        int64_t n = ns_minimizers(codes, len, (int32_t)prm[P_SEED_K],
+                                  (int32_t)prm[P_SEED_W],
+                                  a.h.data(), a.p.data(), a.f.data());
+        n = ns_anchor_prepare(a.h.data(), a.p.data(), a.f.data(), n);
+        a.h.resize((size_t)n);
+        a.p.resize((size_t)n);
+        a.f.resize((size_t)n);
+        return mz_cache.emplace(rid, std::move(a)).first->second;
+    }
+
+    void enqueue_children(Contig& st, int64_t rid) {
+        for (int64_t e = adj_off[rid]; e < adj_off[rid + 1]; ++e) {
+            const int64_t r2 = adj[e];
+            if (!claimed[r2] && !st.visited.count(r2)) {
+                st.visited.insert(r2);
+                touched[(size_t)r2] = 1;
+                queue.push_back(Item{st.cid, r2, rid});
+                st.pending += 1;
+            }
+        }
+    }
+
+    bool activate_seed(int64_t seed) {
+        claimed[seed] = 1;
+        touched[(size_t)seed] = 1;
+        const int64_t cid = next_cid++;
+        Contig st;
+        st.cid = cid;
+        const int64_t len = lengths[seed];
+        st.buf.resize((size_t)(2 * len + 512));
+        st.start = len / 2 + 128;
+        st.len = len;
+        const uint8_t* src = packed + offsets[seed];
+        for (int64_t i = 0; i < len; ++i)
+            st.buf[(size_t)(st.start + i)] = (src[i / 4] >> (2 * (i % 4))) & 3;
+        Member m;
+        m.rid = seed;
+        m.strand = 0;
+        m.tstart = 0;
+        m.ops.assign((size_t)len, '=');
+        st.members.push_back(std::move(m));
+        st.total_aligned = len;
+        st.anchors[seed] = forward_minimizers(seed);  // prepared; tpos == pos
+        st.visited.insert(seed);
+        comp_active[comp_of[seed]] += 1;
+        auto res = states.emplace(cid, std::move(st));
+        enqueue_children(res.first->second, seed);
+        if (res.first->second.pending == 0) {
+            finalize(res.first->second, /*reseed=*/false);
+            return false;
+        }
+        return true;
+    }
+
+    bool activate_next_in_comp(int64_t comp, bool fresh_only) {
+        while (true) {
+            auto sl = comp_slot.find(comp);
+            if (sl == comp_slot.end()) return false;
+            const int64_t s = sl->second;
+            if (comp_phase[(size_t)s] == 2) return false;
+            const bool fresh = comp_phase[(size_t)s] == 0;
+            if (!fresh && (fresh_only || comp_active[comp] > 0)) return false;
+            int64_t cur = comp_cursor[(size_t)s];
+            int64_t seed = -1;
+            while (cur < comp_size[(size_t)s]) {
+                const int64_t cand = comp_members[(size_t)s][cur];
+                ++cur;
+                if (claimed[cand] || lengths[cand] < prm[P_MIN_LEN]) continue;
+                if (fresh && touched[(size_t)cand]) continue;
+                seed = cand;
+                break;
+            }
+            comp_cursor[(size_t)s] = cur;
+            if (seed < 0) {
+                if (fresh) {
+                    comp_phase[(size_t)s] = 1;
+                    comp_cursor[(size_t)s] = 0;
+                    continue;
+                }
+                comp_phase[(size_t)s] = 2;  // exhausted ("deleted")
+                return false;
+            }
+            if (activate_seed(seed)) return true;
+        }
+    }
+
+    void finalize(Contig& st, bool reseed = true) {
+        auto it = states.find(st.cid);
+        if (it == states.end()) return;
+        const int64_t comp = comp_of[st.members[0].rid];
+        if (st.members.size() > 1) {
+            done.push_back(std::move(it->second));
+        } else {
+            claimed[st.members[0].rid] = 0;  // lone after all
+        }
+        states.erase(it);
+        comp_active[comp] -= 1;
+        if (reseed) activate_next_in_comp(comp, false);
+    }
+
+    bool place(const Item& it, Placed& out) {
+        auto sit = states.find(it.cid);
+        if (sit == states.end() || sit->second.closed) return false;
+        Contig& st = sit->second;
+        auto pit = st.anchors.find(it.parent);
+        if (pit == st.anchors.end()) return false;
+        const Anchors& pa = pit->second;
+        const Anchors& rb = forward_minimizers(it.rid);
+        if (rb.h.empty()) return false;
+        int32_t is_rc;
+        int64_t d0_abs, votes;
+        const int64_t len_fwd = lengths[it.rid];
+        if (!ns_anchor_join(pa.h.data(), pa.p.data(), pa.f.data(),
+                            (int64_t)pa.h.size(),
+                            rb.h.data(), rb.p.data(), rb.f.data(),
+                            (int64_t)rb.h.size(),
+                            len_fwd, (int32_t)prm[P_SEED_K],
+                            (int32_t)prm[P_MAX_CHAIN],
+                            &is_rc, &d0_abs, &votes))
+            return false;
+        const int64_t mlen = len_fwd;
+        const int64_t band = prm[P_BAND];
+        const int64_t qlo = std::max<int64_t>(0, (st.lo - d0_abs) - band / 2);
+        const int64_t qhi = std::min(mlen, (st.hi() - d0_abs) + band / 2);
+        if (qhi - qlo < prm[P_MIN_OVERLAP]) return false;
+        out.item = it;
+        out.is_rc = is_rc;
+        unpack_oriented(it.rid, is_rc, out.codes);
+        out.qlo = qlo;
+        out.qhi = qhi;
+        out.wlo = std::max(st.lo, d0_abs + qlo - band);
+        out.whi = std::min(st.hi(), d0_abs + qhi + band);
+        out.snap_lo = st.lo;
+        out.snap_hi = st.hi();
+        out.d0_win = (d0_abs + qlo) - out.wlo;
+        return true;
+    }
+
+    void accept(Contig& st, Placed& p, std::vector<uint8_t>& ops,
+                int64_t tstart_abs, int64_t tend_abs) {
+        const int64_t mlen = (int64_t)p.codes.size();
+        int64_t head = 0;
+        while (head < (int64_t)ops.size() && ops[(size_t)head] == 'i') ++head;
+        int64_t tail = 0;
+        while (tail < (int64_t)ops.size() &&
+               ops[ops.size() - 1 - (size_t)tail] == 'i')
+            ++tail;
+        if (head && tstart_abs == st.lo) {
+            st.prepend(p.codes.data(), head);
+            st.lo -= head;
+            std::fill(ops.begin(), ops.begin() + head, '=');
+            tstart_abs -= head;
+        }
+        if (tail && tend_abs == st.hi() && head + tail <= (int64_t)ops.size()) {
+            st.append(p.codes.data() + mlen - tail, tail);
+            std::fill(ops.end() - tail, ops.end(), '=');
+        }
+        Member m;
+        m.rid = p.item.rid;
+        m.strand = (uint8_t)p.is_rc;
+        m.tstart = tstart_abs;
+        m.ops = ops;
+        st.members.push_back(std::move(m));
+        st.total_aligned += mlen;
+        // anchor table through the alignment (sorted order preserved)
+        auto cit = mz_cache.find(p.item.rid);
+        const Anchors& fw = cit->second;
+        Anchors out;
+        out.h.resize(fw.h.size());
+        out.p.resize(fw.p.size());
+        out.f.resize(fw.f.size());
+        const int64_t n = ns_accept_anchors(
+            ops.data(), (int64_t)ops.size(), tstart_abs, mlen, p.is_rc,
+            (int32_t)prm[P_SEED_K],
+            fw.h.data(), fw.p.data(), fw.f.data(), (int64_t)fw.h.size(),
+            out.h.data(), out.p.data(), out.f.data());
+        out.h.resize((size_t)n);
+        out.p.resize((size_t)n);
+        out.f.resize((size_t)n);
+        st.anchors[p.item.rid] = std::move(out);
+    }
+
+    void apply(Placed& p) {
+        auto sit = states.find(p.item.cid);
+        if (sit == states.end() || sit->second.closed ||
+            claimed[p.item.rid]) {
+            n_claimed_skip += 1;
+            return;
+        }
+        Contig& st = sit->second;
+        if (p.cost < 0) { n_reject += 1; return; }
+        const int64_t mlen = (int64_t)p.codes.size();
+        std::vector<uint8_t> ops;
+        ops.reserve((size_t)(p.qlo + p.ops_len + (mlen - p.qhi)));
+        ops.insert(ops.end(), (size_t)p.qlo, 'i');
+        ops.insert(ops.end(), p.ops.begin(), p.ops.begin() + p.ops_len);
+        ops.insert(ops.end(), (size_t)(mlen - p.qhi), 'i');
+        const int64_t tstart_abs = p.wlo + p.tstart;
+        const int64_t tend_abs = p.wlo + p.tend;
+        int64_t head_run = 0;
+        while (head_run < (int64_t)ops.size() && ops[(size_t)head_run] == 'i')
+            ++head_run;
+        int64_t tail_run = 0;
+        if (head_run < (int64_t)ops.size())
+            while (ops[ops.size() - 1 - (size_t)tail_run] == 'i') ++tail_run;
+        bool head_lost = head_run > 0 && tstart_abs == p.snap_lo &&
+                         st.lo != p.snap_lo;
+        bool tail_lost = tail_run > 0 && tend_abs == p.snap_hi &&
+                         st.hi() != p.snap_hi;
+        head_lost |= head_run > 0 && p.qlo > 0 && st.lo < p.snap_lo;
+        tail_lost |= tail_run > 0 && p.qhi < mlen && st.hi() > p.snap_hi;
+        if ((head_lost || tail_lost) && p.item.attempts < prm[P_MAX_ATTEMPTS]) {
+            Item retry = p.item;
+            retry.attempts += 1;
+            queue.push_back(retry);
+            st.pending += 1;
+            n_retry += 1;
+            return;
+        }
+        stat_aligned_ok += 1;
+        claimed[p.item.rid] = 1;
+        mz_cache_evict_after_accept(st, p, ops, tstart_abs, tend_abs);
+        enqueue_children(st, p.item.rid);
+        if (st.total_aligned > prm[P_EDGE_THR]) st.closed = true;
+    }
+
+    void mz_cache_evict_after_accept(Contig& st, Placed& p,
+                                     std::vector<uint8_t>& ops,
+                                     int64_t tstart_abs, int64_t tend_abs) {
+        accept(st, p, ops, tstart_abs, tend_abs);  // needs the cache entry
+        mz_cache.erase(p.item.rid);
+    }
+
+    void run_batch() {
+        std::vector<Placed> batch;
+        std::vector<Item> consumed;
+        std::vector<Item> deferred;
+        // End-extension admission: only one candidate per (contig, side)
+        // per batch. Every other end-extender in the batch would lose the
+        // splice race and retry with a full re-alignment (the dominant DP
+        // waste: ~60% of pairs were retries before this), so defer them
+        // un-aligned; they re-place against the fresh end next batch.
+        std::unordered_set<int64_t> side_taken;
+        double t0 = now_s();
+        while (!queue.empty() && (int64_t)batch.size() < prm[P_ALIGN_BATCH]) {
+            Item it = queue.back();
+            queue.pop_back();
+            if (claimed[it.rid]) {
+                consumed.push_back(it);
+                continue;
+            }
+            Placed pl;
+            if (!place(it, pl)) {
+                consumed.push_back(it);
+                stat_not_claimed += 1;
+                n_place_fail += 1;
+                continue;
+            }
+            const bool headext = pl.qlo > 0;
+            const bool tailext = pl.qhi < (int64_t)pl.codes.size();
+            const bool blocked =
+                (headext && side_taken.count(it.cid * 2)) ||
+                (tailext && side_taken.count(it.cid * 2 + 1));
+            if (blocked) {
+                deferred.push_back(it);
+                continue;
+            }
+            if (headext) side_taken.insert(it.cid * 2);
+            if (tailext) side_taken.insert(it.cid * 2 + 1);
+            consumed.push_back(it);
+            stat_not_claimed += 1;
+            batch.push_back(std::move(pl));
+        }
+        t_place += now_s() - t0;
+        if (!batch.empty()) {
+            t0 = now_s();
+            #pragma omp parallel for schedule(dynamic, 2)
+            for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
+                Placed& p = batch[(size_t)b];
+                const Contig& st = states.at(p.item.cid);
+                const int64_t m = p.qhi - p.qlo;
+                const int64_t ops_cap = 2 * m + 2 * prm[P_BAND] + 2;
+                p.ops.resize((size_t)ops_cap);
+                const int32_t max_cost =
+                    (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
+                p.cost = ns_banded_align(
+                    st.cons() + (p.wlo - st.lo), p.whi - p.wlo,
+                    p.codes.data() + p.qlo, m,
+                    p.d0_win, (int32_t)prm[P_BAND], max_cost,
+                    p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
+            }
+            t_dp += now_s() - t0;
+            n_dp += (int64_t)batch.size();
+            for (const Placed& p : batch) dp_bases += p.qhi - p.qlo;
+            t0 = now_s();
+            for (Placed& p : batch) apply(p);
+            t_apply += now_s() - t0;
+        }
+        for (const Item& it : consumed) {
+            auto sit = states.find(it.cid);
+            if (sit == states.end()) continue;
+            sit->second.pending -= 1;
+            if (sit->second.pending == 0) finalize(sit->second);
+        }
+        // deferred items were never consumed: pending unchanged, re-queued
+        // for a fresh placement against the now-extended consensus
+        for (const Item& it : deferred) queue.push_back(it);
+    }
+
+    void run() {
+        std::deque<int64_t> expand;
+        for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s)
+            expand.push_back(comp_ids[(size_t)s]);
+        while (true) {
+            while ((int64_t)queue.size() < prm[P_FRONTIER] && !expand.empty()) {
+                if (activate_next_in_comp(expand.front(), /*fresh_only=*/true)) {
+                    expand.push_back(expand.front());
+                    expand.pop_front();
+                } else {
+                    expand.pop_front();
+                }
+            }
+            if (queue.empty()) break;
+            run_batch();
+        }
+        for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s) {
+            while (activate_next_in_comp(comp_ids[(size_t)s], false))
+                while (!queue.empty()) run_batch();
+        }
+        std::vector<int64_t> leftover;
+        for (auto& kv : states) leftover.push_back(kv.first);
+        std::sort(leftover.begin(), leftover.end());
+        for (int64_t cid : leftover) {
+            auto it = states.find(cid);
+            if (it != states.end()) finalize(it->second);
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// comp member lists: for registered component i (of n_comps, ids in
+// comps[]), members are memb_flat[memb_off[i] : memb_off[i+1]).
+void* ns_engine_run(
+    const uint8_t* packed, const int64_t* offsets, const int64_t* lengths,
+    int64_t N,
+    const int64_t* adj_off, const int64_t* adj,
+    const int64_t* comp_of,
+    const int64_t* comps, const int64_t* memb_off, const int64_t* memb_flat,
+    int64_t n_comps,
+    uint8_t* claimed,
+    const int64_t* params,
+    int64_t* out_ncontig, int64_t* out_nmember,
+    int64_t* out_cons_total, int64_t* out_ops_total,
+    int64_t* stats_out)
+{
+    Engine* e = new Engine();
+    e->packed = packed;
+    e->offsets = offsets;
+    e->lengths = lengths;
+    e->adj_off = adj_off;
+    e->adj = adj;
+    e->comp_of = comp_of;
+    e->claimed = claimed;
+    e->N = N;
+    e->touched.assign((size_t)N, 0);
+    std::memcpy(e->prm, params, sizeof(e->prm));
+    for (int64_t i = 0; i < n_comps; ++i) {
+        const int64_t comp = comps[i];
+        e->comp_ids.push_back(comp);
+        e->comp_members.push_back(memb_flat + memb_off[i]);
+        e->comp_size.push_back(memb_off[i + 1] - memb_off[i]);
+        e->comp_cursor.push_back(0);
+        e->comp_phase.push_back(0);
+        e->comp_slot[comp] = i;
+        e->comp_active[comp] = 0;
+    }
+    e->run();
+    if (std::getenv("NS_ENGINE_DEBUG")) {
+        std::fprintf(stderr,
+                     "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb) "
+                     "apply %.1fs | retry %lld reject %lld claimed %lld "
+                     "placefail %lld\n",
+                     e->t_place, e->t_dp, (long long)e->n_dp,
+                     e->dp_bases / 1e6, e->t_apply, (long long)e->n_retry,
+                     (long long)e->n_reject, (long long)e->n_claimed_skip,
+                     (long long)e->n_place_fail);
+    }
+    int64_t nm = 0, ct = 0, ot = 0;
+    for (const Contig& c : e->done) {
+        nm += (int64_t)c.members.size();
+        ct += c.len;
+        for (const Member& m : c.members) ot += (int64_t)m.ops.size();
+    }
+    *out_ncontig = (int64_t)e->done.size();
+    *out_nmember = nm;
+    *out_cons_total = ct;
+    *out_ops_total = ot;
+    stats_out[0] = e->stat_not_claimed;
+    stats_out[1] = e->stat_aligned_ok;
+    return e;
+}
+
+void ns_engine_fetch(void* handle,
+                     uint8_t* cons_flat, int64_t* cons_len,
+                     int64_t* m_cnt,
+                     int64_t* rid, uint8_t* strand, int64_t* tstart_rel,
+                     int64_t* ops_len, uint8_t* ops_flat)
+{
+    Engine* e = (Engine*)handle;
+    int64_t co = 0, oo = 0, mi = 0, ci = 0;
+    for (const Contig& c : e->done) {
+        std::memcpy(cons_flat + co, c.cons(), (size_t)c.len);
+        co += c.len;
+        cons_len[ci] = c.len;
+        m_cnt[ci] = (int64_t)c.members.size();
+        ++ci;
+        for (const Member& m : c.members) {
+            rid[mi] = m.rid;
+            strand[mi] = m.strand;
+            tstart_rel[mi] = m.tstart - c.lo;
+            ops_len[mi] = (int64_t)m.ops.size();
+            std::memcpy(ops_flat + oo, m.ops.data(), m.ops.size());
+            oo += (int64_t)m.ops.size();
+            ++mi;
+        }
+    }
+}
+
+void ns_engine_free(void* handle) { delete (Engine*)handle; }
+
+}  // extern "C"

@@ -1071,14 +1071,140 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     }
 
 
+class _ShimState:
+    """Minimal contig-state shim around the native engine's output, duck-
+    typed for _polish_batch_native / _emit_group / check_contigs."""
+
+    __slots__ = ("cons", "lo", "members")
+
+    def __init__(self, cons, members):
+        self.cons = cons
+        self.lo = 0
+        self.members = members
+
+
+def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
+                            graph: dict, comp_subset) -> dict | None:
+    """Whole grow loop in C++ (native/engine.cpp); None -> use the Python
+    wavefront (no compiler, or the TPU aligner was requested)."""
+    if cfg.aligner == "tpu":
+        return None
+    try:
+        import ctypes
+
+        from .. import native
+
+        lib = native.get_lib()
+    except Exception:
+        return None
+    comp_order = graph["comp_order"]
+    boundaries = graph["boundaries"]
+    comps = []
+    memb_parts = []
+    for comp in comp_subset:
+        members = comp_order[boundaries[comp]: boundaries[comp + 1]]
+        if len(members) < 2:
+            continue
+        comps.append(comp)
+        memb_parts.append(np.ascontiguousarray(members, dtype=np.int64))
+    comps_a = np.asarray(comps, dtype=np.int64)
+    memb_off = np.zeros(len(comps) + 1, np.int64)
+    np.cumsum([len(m) for m in memb_parts], out=memb_off[1:])
+    memb_flat = (np.concatenate(memb_parts) if memb_parts
+                 else np.zeros(0, np.int64))
+    claimed = np.ascontiguousarray(graph["rep"], dtype=np.uint8).copy()
+    packed = store.packed
+    if not packed.flags["C_CONTIGUOUS"]:
+        packed = np.ascontiguousarray(packed)
+    params = np.array([
+        cfg.seed_kmer_size, cfg.seed_window, cfg.max_chain_iter,
+        cfg.band_width, int(cfg.max_edit_frac * 1000), cfg.min_overlap,
+        cfg.align_batch, cfg.frontier_target, cfg.edge_threshold,
+        max(cfg.kmer_size, cfg.min_read_len_for_sketch), 8,
+    ], dtype=np.int64)
+    adj_off = np.ascontiguousarray(graph["adj_off"], np.int64)
+    adj = np.ascontiguousarray(graph["dst"], np.int64)
+    comp_of = np.ascontiguousarray(graph["comp_of"], np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    c64 = lambda a: a.ctypes.data_as(i64p)
+    nc = ctypes.c_int64()
+    nm = ctypes.c_int64()
+    ctot = ctypes.c_int64()
+    otot = ctypes.c_int64()
+    st2 = np.zeros(2, np.int64)
+    h = lib.ns_engine_run(
+        packed.ctypes.data_as(u8p), c64(store.offsets), c64(store.lengths),
+        ctypes.c_int64(store.num_reads),
+        c64(adj_off), c64(adj), c64(comp_of),
+        c64(comps_a), c64(memb_off), c64(memb_flat),
+        ctypes.c_int64(len(comps)),
+        claimed.ctypes.data_as(u8p), c64(params),
+        ctypes.byref(nc), ctypes.byref(nm), ctypes.byref(ctot),
+        ctypes.byref(otot), c64(st2),
+    )
+    try:
+        C, M = nc.value, nm.value
+        cons_flat = np.empty(ctot.value, np.uint8)
+        cons_len = np.empty(C, np.int64)
+        m_cnt = np.empty(C, np.int64)
+        rid = np.empty(M, np.int64)
+        strand = np.empty(M, np.uint8)
+        tstart_rel = np.empty(M, np.int64)
+        ops_len = np.empty(M, np.int64)
+        ops_flat = np.empty(otot.value, np.uint8)
+        lib.ns_engine_fetch(
+            ctypes.c_void_p(h), cons_flat.ctypes.data_as(u8p), c64(cons_len),
+            c64(m_cnt), c64(rid), strand.ctypes.data_as(u8p),
+            c64(tstart_rel), c64(ops_len), ops_flat.ctypes.data_as(u8p),
+        )
+    finally:
+        lib.ns_engine_free(ctypes.c_void_p(h))
+    stats.not_claimed += int(st2[0])
+    stats.aligned_ok += int(st2[1])
+
+    states = []
+    cpos = 0
+    mi = 0
+    oo = 0
+    for c in range(C):
+        cons = cons_flat[cpos: cpos + int(cons_len[c])].copy()
+        cpos += int(cons_len[c])
+        members = []
+        for _ in range(int(m_cnt[c])):
+            ln = int(ops_len[mi])
+            members.append(_Member(int(rid[mi]), int(strand[mi]),
+                                   int(tstart_rel[mi]),
+                                   ops_flat[oo: oo + ln].copy(), 0))
+            oo += ln
+            mi += 1
+        states.append(_ShimState(cons, members))
+
+    if cfg.polish_rounds > 0:
+        if not _polish_batch_native(states, store):
+            for st in states:
+                _polish_contig(st, store)
+                _polish_indels(st, store)
+                _polish_contig(st, store)
+    if cfg.checks:
+        check_contigs(states, store)
+    return _emit_group(states, store)
+
+
 def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
                      graph: dict, comp_subset) -> dict:
     """Grow + polish + emit one contig group for a subset of components.
 
     Components are disjoint in reads, so subsets run with zero coordination
     (no locks, no shared claim table) — one subset per worker process here,
-    one per host in the multi-host layout.
+    one per host in the multi-host layout. The hot loop runs in C++
+    (native/engine.cpp) when available; this Python wavefront is the
+    readable oracle and the TPU-aligner path.
     """
+    g = _grow_components_engine(store, cfg, stats, graph, comp_subset)
+    if g is not None:
+        return g
     import collections
 
     N = store.num_reads
