@@ -26,6 +26,10 @@ class CompressConfig:
     seed_window: int = 50              # --minimap-w analog: minimizer window
     max_chain_iter: int = 400          # chaining iteration cap analog
     band_width: int = 128              # banded-DP half-width for extension
+    band_width_min: int = 64           # adaptive first-try band (native
+                                       # engine escalates to band_width on
+                                       # rejection; tighter bands give
+                                       # tighter scripts AND less DP work)
     max_edit_frac: float = 0.5         # reject alignment if edits/len above this
     min_overlap: int = 150             # min overlapping bases to accept a member
 

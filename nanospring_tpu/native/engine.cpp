@@ -56,7 +56,7 @@ namespace {
 enum Param {
     P_SEED_K = 0, P_SEED_W, P_MAX_CHAIN, P_BAND, P_MAXCOST_KB,
     P_MIN_OVERLAP, P_ALIGN_BATCH, P_FRONTIER, P_EDGE_THR, P_MIN_LEN,
-    P_MAX_ATTEMPTS, P_COUNT
+    P_MAX_ATTEMPTS, P_BAND_MIN, P_COUNT
 };
 
 struct Anchors {
@@ -113,10 +113,12 @@ struct Contig {
 struct Item {
     int64_t cid, rid, parent;
     int32_t attempts = 0;
+    int32_t full_band = 0;   // escalated after a min-band rejection
 };
 
 struct Placed {
     Item item;
+    int64_t band;
     int32_t is_rc;
     std::vector<uint8_t> codes;   // oriented full query
     int64_t qlo, qhi, wlo, whi, snap_lo, snap_hi, d0_win;
@@ -314,11 +316,15 @@ struct Engine {
                             &is_rc, &d0_abs, &votes))
             return false;
         const int64_t mlen = len_fwd;
-        const int64_t band = prm[P_BAND];
+        // adaptive band: the anchor median pins the diagonal well, so a
+        // narrow band suffices (and yields tighter scripts: better ratio);
+        // a rejected pair escalates to the full band once.
+        const int64_t band = it.full_band ? prm[P_BAND] : prm[P_BAND_MIN];
         const int64_t qlo = std::max<int64_t>(0, (st.lo - d0_abs) - band / 2);
         const int64_t qhi = std::min(mlen, (st.hi() - d0_abs) + band / 2);
         if (qhi - qlo < prm[P_MIN_OVERLAP]) return false;
         out.item = it;
+        out.band = band;
         out.is_rc = is_rc;
         unpack_oriented(it.rid, is_rc, out.codes);
         out.qlo = qlo;
@@ -383,7 +389,16 @@ struct Engine {
             return;
         }
         Contig& st = sit->second;
-        if (p.cost < 0) { n_reject += 1; return; }
+        if (p.cost < 0) {
+            n_reject += 1;
+            if (!p.item.full_band && prm[P_BAND_MIN] < prm[P_BAND]) {
+                Item esc = p.item;
+                esc.full_band = 1;
+                queue.push_back(esc);
+                st.pending += 1;
+            }
+            return;
+        }
         const int64_t mlen = (int64_t)p.codes.size();
         std::vector<uint8_t> ops;
         ops.reserve((size_t)(p.qlo + p.ops_len + (mlen - p.qhi)));
@@ -474,14 +489,14 @@ struct Engine {
                 Placed& p = batch[(size_t)b];
                 const Contig& st = states.at(p.item.cid);
                 const int64_t m = p.qhi - p.qlo;
-                const int64_t ops_cap = 2 * m + 2 * prm[P_BAND] + 2;
+                const int64_t ops_cap = 2 * m + 2 * p.band + 2;
                 p.ops.resize((size_t)ops_cap);
                 const int32_t max_cost =
                     (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
                 p.cost = ns_banded_align(
                     st.cons() + (p.wlo - st.lo), p.whi - p.wlo,
                     p.codes.data() + p.qlo, m,
-                    p.d0_win, (int32_t)prm[P_BAND], max_cost,
+                    p.d0_win, (int32_t)p.band, max_cost,
                     p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
                 if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
             }

@@ -1121,6 +1121,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         cfg.band_width, int(cfg.max_edit_frac * 1000), cfg.min_overlap,
         cfg.align_batch, cfg.frontier_target, cfg.edge_threshold,
         max(cfg.kmer_size, cfg.min_read_len_for_sketch), 8,
+        min(cfg.band_width_min, cfg.band_width),
     ], dtype=np.int64)
     adj_off = np.ascontiguousarray(graph["adj_off"], np.int64)
     adj = np.ascontiguousarray(graph["dst"], np.int64)
