@@ -125,6 +125,39 @@ class ReadStore:
         codes = np.where(mask, codes, np.uint8(fill))
         return codes, lens
 
+    def get_batch_packed(
+        self, rids: np.ndarray, pad_to: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(B, ceil(pad_to/4)) raw packed bytes + lengths, zero-padded.
+
+        Ships reads to the accelerator packed (the sketch kernel unpacks
+        on device). None when the native lib is unavailable.
+        """
+        lib = _native_lib()
+        if lib is None:
+            return None
+        import ctypes
+
+        rids = np.asarray(rids, dtype=np.int64)
+        lens = self.lengths[rids]
+        B = len(rids)
+        nbytes_pad = (pad_to + 3) // 4
+        out = np.empty((B, nbytes_pad), dtype=np.uint8)
+        packed = self.packed
+        if not packed.flags["C_CONTIGUOUS"]:
+            packed = np.ascontiguousarray(packed)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ns_gather_packed(
+            packed.ctypes.data_as(u8p),
+            self.offsets.ctypes.data_as(i64p),
+            self.lengths.ctypes.data_as(i64p),
+            rids.ctypes.data_as(i64p),
+            ctypes.c_int64(B), ctypes.c_int64(nbytes_pad),
+            out.ctypes.data_as(u8p),
+        )
+        return out, lens
+
     def exceptions_for_read(self, rid: int) -> tuple[np.ndarray, np.ndarray]:
         lo = np.searchsorted(self.exc_read, rid, side="left")
         hi = np.searchsorted(self.exc_read, rid, side="right")

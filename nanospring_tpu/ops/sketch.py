@@ -125,6 +125,24 @@ def sketch_batch(
     return mins.T  # (B, n)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def sketch_batch_packed(
+    packed: jnp.ndarray,   # (B, ceil(L/4)) uint8, 4 bases/byte LSB-first
+    lengths: jnp.ndarray,  # (B,) int32/int64
+    seeds: jnp.ndarray,    # (n, 2) uint32
+    k: int,
+) -> jnp.ndarray:
+    """sketch_batch with on-device 2-bit unpack: 4x less host->device
+    traffic and no host-side unpack pass (the store ships raw packed
+    bytes via native ns_gather_packed)."""
+    B, nb = packed.shape
+    codes = jnp.stack(
+        [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3, (packed >> 6) & 3],
+        axis=-1,
+    ).reshape(B, nb * 4)
+    return sketch_batch(codes, lengths, seeds, k)
+
+
 def sketch_batch_np(
     codes: np.ndarray, lengths: np.ndarray, seeds: np.ndarray, k: int
 ) -> np.ndarray:

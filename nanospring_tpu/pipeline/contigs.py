@@ -89,8 +89,16 @@ def compute_all_sketches(store, cfg: CompressConfig, report: bool = False) -> np
         while j < N and store.lengths[order[j]] <= pad and j - i < cfg.sketch_batch_reads:
             j += 1
         rids = order[i:j]
-        codes, lens = store.get_batch_padded(rids, pad_to=pad)
-        s = np.asarray(sk.sketch_batch(codes, lens.astype(np.int32), seeds, k=cfg.kmer_size))
+        pk_batch = (store.get_batch_packed(rids, pad_to=pad)
+                    if hasattr(store, "get_batch_packed") else None)
+        if pk_batch is not None:
+            packed, lens = pk_batch
+            s = np.asarray(sk.sketch_batch_packed(
+                packed, lens.astype(np.int32), seeds, k=cfg.kmer_size))
+        else:
+            codes, lens = store.get_batch_padded(rids, pad_to=pad)
+            s = np.asarray(sk.sketch_batch(
+                codes, lens.astype(np.int32), seeds, k=cfg.kmer_size))
         out[rids] = s
         i = j
     return out
