@@ -316,8 +316,34 @@ def _decompress_bounded(
                 lens = final_lens[lo:hi]
                 blk = np.full(int(lens.sum()) + len(lens), ord("\n"), np.uint8)
                 boffs = _excl_cumsum(lens + 1)
-                src = _expand_gather(spill_off[lo:hi], lens)
-                blk[_expand_gather(boffs, lens)] = mm[src]
+                lib = None
+                try:
+                    from . import native
+
+                    lib = native.get_lib()
+                except Exception:
+                    pass
+                if lib is not None and total:
+                    # ordered gather straight off the spill memmap (the
+                    # numpy index-expansion here was the bounded path's
+                    # dominant cost)
+                    import ctypes
+
+                    u8p = ctypes.POINTER(ctypes.c_uint8)
+                    i64p = ctypes.POINTER(ctypes.c_int64)
+                    offs = np.ascontiguousarray(spill_off[lo:hi])
+                    lens_c = np.ascontiguousarray(lens)
+                    not_lone = np.zeros(hi - lo, dtype=np.uint8)
+                    lib.ns_gather_reads(
+                        mm.ctypes.data_as(u8p), mm.ctypes.data_as(u8p),
+                        offs.ctypes.data_as(i64p),
+                        not_lone.ctypes.data_as(u8p),
+                        lens_c.ctypes.data_as(i64p),
+                        ctypes.c_int64(hi - lo), blk.ctypes.data_as(u8p),
+                    )
+                else:
+                    src = _expand_gather(spill_off[lo:hi], lens)
+                    blk[_expand_gather(boffs, lens)] = mm[src]
                 # restore non-ACGT bytes for reads in this pass
                 esel = (exc_read >= lo) & (exc_read < hi)
                 if esel.any():
