@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <chrono>
+#include <thread>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -121,6 +122,9 @@ struct Placed {
     int64_t band;
     int32_t is_rc;
     std::vector<uint8_t> codes;   // oriented full query
+    std::vector<uint8_t> tgt;     // consensus window snapshot (the DP for
+                                  // batch k runs while batch k-1's applies
+                                  // mutate the live consensus buffers)
     int64_t qlo, qhi, wlo, whi, snap_lo, snap_hi, d0_win;
     // DP outputs
     std::vector<uint8_t> ops;
@@ -334,6 +338,8 @@ struct Engine {
         out.snap_lo = st.lo;
         out.snap_hi = st.hi();
         out.d0_win = (d0_abs + qlo) - out.wlo;
+        out.tgt.assign(st.cons() + (out.wlo - st.lo),
+                       st.cons() + (out.whi - st.lo));
         return true;
     }
 
@@ -441,10 +447,19 @@ struct Engine {
         mz_cache.erase(p.item.rid);
     }
 
-    void run_batch() {
+    struct BatchState {
         std::vector<Placed> batch;
         std::vector<Item> consumed;
         std::vector<Item> deferred;
+        bool any() const {
+            return !batch.empty() || !consumed.empty() || !deferred.empty();
+        }
+    };
+
+    void collect(BatchState& bs) {
+        std::vector<Placed>& batch = bs.batch;
+        std::vector<Item>& consumed = bs.consumed;
+        std::vector<Item>& deferred = bs.deferred;
         // End-extension admission: only one candidate per (contig, side)
         // per batch. Every other end-extender in the batch would lose the
         // splice race and retry with a full re-alignment (the dominant DP
@@ -482,32 +497,39 @@ struct Engine {
             batch.push_back(std::move(pl));
         }
         t_place += now_s() - t0;
-        if (!batch.empty()) {
-            t0 = now_s();
-            #pragma omp parallel for schedule(dynamic, 2)
-            for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
-                Placed& p = batch[(size_t)b];
-                const Contig& st = states.at(p.item.cid);
-                const int64_t m = p.qhi - p.qlo;
-                const int64_t ops_cap = 2 * m + 2 * p.band + 2;
-                p.ops.resize((size_t)ops_cap);
-                const int32_t max_cost =
-                    (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
-                p.cost = ns_banded_align(
-                    st.cons() + (p.wlo - st.lo), p.whi - p.wlo,
-                    p.codes.data() + p.qlo, m,
-                    p.d0_win, (int32_t)p.band, max_cost,
-                    p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
-                if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
-            }
-            t_dp += now_s() - t0;
-            n_dp += (int64_t)batch.size();
-            for (const Placed& p : batch) dp_bases += p.qhi - p.qlo;
-            t0 = now_s();
-            for (Placed& p : batch) apply(p);
-            t_apply += now_s() - t0;
+    }
+
+    // DP only: touches nothing but the batch's own snapshots (safe to run
+    // concurrently with settle() of the previous batch)
+    void dp_run(BatchState& bs) {
+        if (bs.batch.empty()) return;
+        const double t0 = now_s();
+        std::vector<Placed>& batch = bs.batch;
+        #pragma omp parallel for schedule(dynamic, 2)
+        for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
+            Placed& p = batch[(size_t)b];
+            const int64_t m = p.qhi - p.qlo;
+            const int64_t ops_cap = 2 * m + 2 * p.band + 2;
+            p.ops.resize((size_t)ops_cap);
+            const int32_t max_cost =
+                (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
+            p.cost = ns_banded_align(
+                p.tgt.data(), (int64_t)p.tgt.size(),
+                p.codes.data() + p.qlo, m,
+                p.d0_win, (int32_t)p.band, max_cost,
+                p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+            if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
         }
-        for (const Item& it : consumed) {
+        t_dp += now_s() - t0;
+        n_dp += (int64_t)batch.size();
+        for (const Placed& p : batch) dp_bases += p.qhi - p.qlo;
+    }
+
+    void settle(BatchState& bs) {
+        const double t0 = now_s();
+        for (Placed& p : bs.batch) apply(p);
+        t_apply += now_s() - t0;
+        for (const Item& it : bs.consumed) {
             auto sit = states.find(it.cid);
             if (sit == states.end()) continue;
             sit->second.pending -= 1;
@@ -515,13 +537,26 @@ struct Engine {
         }
         // deferred items were never consumed: pending unchanged, re-queued
         // for a fresh placement against the now-extended consensus
-        for (const Item& it : deferred) queue.push_back(it);
+        for (const Item& it : bs.deferred) queue.push_back(it);
+    }
+
+    void run_batch() {
+        BatchState bs;
+        collect(bs);
+        dp_run(bs);
+        settle(bs);
     }
 
     void run() {
         std::deque<int64_t> expand;
         for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s)
             expand.push_back(comp_ids[(size_t)s]);
+        // two-stage pipeline: DP of batch k (worker thread) overlaps
+        // settle(k-1) + collect(k+1) on the main thread. Placement sees a
+        // one-batch-stale consensus; the stale-clip retry rules in apply()
+        // cover it (same schedule as the Python wavefront's pipeline).
+        BatchState prev;
+        bool have_prev = false;
         while (true) {
             while ((int64_t)queue.size() < prm[P_FRONTIER] && !expand.empty()) {
                 if (activate_next_in_comp(expand.front(), /*fresh_only=*/true)) {
@@ -531,9 +566,18 @@ struct Engine {
                     expand.pop_front();
                 }
             }
-            if (queue.empty()) break;
-            run_batch();
+            BatchState cur;
+            collect(cur);
+            std::thread dp;
+            const bool have_dp = !cur.batch.empty();
+            if (have_dp) dp = std::thread([this, &cur] { dp_run(cur); });
+            if (have_prev) settle(prev);
+            if (have_dp) dp.join();
+            prev = std::move(cur);
+            have_prev = prev.any();
+            if (!have_prev && queue.empty() && expand.empty()) break;
         }
+        if (have_prev) settle(prev);
         for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s) {
             while (activate_next_in_comp(comp_ids[(size_t)s], false))
                 while (!queue.empty()) run_batch();
