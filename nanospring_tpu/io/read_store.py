@@ -353,8 +353,22 @@ def load_fastq(path: str, low_mem: bool = False, work_dir: str = "/tmp",
         except Exception:
             use_native = False
     if use_native:
-        for block in _iter_record_blocks(path):
-            b.add_packed_batch(*_pack_block_native(block))
+        # pipeline: reader thread feeds pack jobs; ctypes releases the GIL
+        # during ns_fastq_scan/pack so blocks pack in parallel (the
+        # reference packs 5000-read blocks under OpenMP,
+        # src/ReadData.cpp:110-142)
+        import concurrent.futures as cf
+        import os as _os
+
+        workers = max(2, min(4, _os.cpu_count() or 2))
+        with cf.ThreadPoolExecutor(workers) as pool:
+            pending = []
+            for block in _iter_record_blocks(path, chunk_bytes=8 << 20):
+                pending.append(pool.submit(_pack_block_native, block))
+                while len(pending) > 2 * workers:
+                    b.add_packed_batch(*pending.pop(0).result())
+            for fut in pending:
+                b.add_packed_batch(*fut.result())
     else:
         from . import fastq
 
