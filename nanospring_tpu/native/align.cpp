@@ -54,7 +54,11 @@ int32_t ns_banded_align(
     Scratch& s = g_scratch;
     s.row0.assign(width + 1, INF);   // +1: INF sentinel for up at k=width-1
     s.row1.assign(width + 1, INF);
-    s.dirs.assign((size_t)(m + 1) * width, 3);
+    // no fill: every dirs row in [1, m] is fully written by the DP loop
+    // and the traceback never reads row 0 (a per-pair memset here was
+    // ~0.5 MB/pair of pure overhead)
+    if (s.dirs.size() < (size_t)(m + 1) * width)
+        s.dirs.resize((size_t)(m + 1) * width);
     // tpad[x] = target[x + d0 - W - 1], 0xFF sentinel outside: row i's
     // diag chars are the contiguous slice tpad[i .. i+width) (no per-cell
     // bounds checks; boundary validity is handled by the klo/khi clip).

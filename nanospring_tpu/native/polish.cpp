@@ -15,6 +15,7 @@
 // opaque handle: ns_polish_batch -> sizes, ns_polish_fetch -> copy out,
 // ns_polish_free.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -325,8 +326,16 @@ void* ns_polish_batch(
 {
     BatchResult* res = new BatchResult();
     res->contigs.resize((size_t)C);
+    // longest-processing-time order: contig cost is dominated by member
+    // count, so scheduling the big ones first minimizes the makespan of
+    // the dynamic parallel loop
+    std::vector<int64_t> order((size_t)C);
+    for (int64_t i = 0; i < C; ++i) order[(size_t)i] = i;
+    std::sort(order.begin(), order.end(),
+              [&](int64_t a, int64_t b) { return m_cnt[a] > m_cnt[b]; });
     #pragma omp parallel for schedule(dynamic, 1)
-    for (int64_t c = 0; c < C; ++c) {
+    for (int64_t ci = 0; ci < C; ++ci) {
+        const int64_t c = order[(size_t)ci];
         std::vector<uint8_t> cons(cons_flat + cons_off[c],
                                   cons_flat + cons_off[c] + cons_len[c]);
         std::vector<Member> ms((size_t)m_cnt[c]);
