@@ -33,12 +33,17 @@ def _needs_build(so_path: str) -> bool:
 
 
 def build(verbose: bool = False) -> str:
-    so_path = os.path.join(_DIR, _SO_NAME)
+    # NSTPU_ASAN=1 builds the native stage with AddressSanitizer (the
+    # reference's Debug config, CMakeLists.txt:180-183); load with
+    # LD_PRELOAD=$(g++ -print-file-name=libasan.so) python ...
+    asan = os.environ.get("NSTPU_ASAN") == "1"
+    so_path = os.path.join(_DIR, "libnstpu_asan.so" if asan else _SO_NAME)
     if _needs_build(so_path):
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             "-fopenmp", "-o", so_path,
-        ] + [os.path.join(_DIR, s) for s in _SOURCES]
+        ] + (["-fsanitize=address", "-fno-omit-frame-pointer", "-g"]
+             if asan else []) + [os.path.join(_DIR, s) for s in _SOURCES]
         if verbose:
             print("[nstpu] building native lib:", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=not verbose)

@@ -32,6 +32,7 @@ axis on TPU); contigs are independent: the parallel axis for hosts/chips.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -671,6 +672,14 @@ def _emit_group(states: list, store) -> dict:
         ops_flat=ops_flat, ops_off=ops_off, ops_len=ops_len,
     )
     es = al.ops_to_edit_scripts(res, np.arange(M), queries_flat, q_off, q_len)
+    trace = os.environ.get("NSTPU_TRACE")
+    if trace:
+        # per-contig trace lines (the reference's -DLOG per-thread logfile
+        # timelines, src/Consensus.cpp:32-49)
+        with open(trace, "a") as f:
+            for i, st in enumerate(states):
+                f.write(f"contig {i} members={len(st.members)} "
+                        f"cons_len={len(st.cons)} lo={st.lo}\n")
     return {
         "consensus_list": [st.cons for st in states],
         "reads_per_contig": np.array([len(st.members) for st in states], np.int64),
