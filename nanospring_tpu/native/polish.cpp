@@ -20,6 +20,25 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+inline bool in_parallel() {
+#ifdef _OPENMP
+    return omp_in_parallel() != 0;
+#else
+    return true;
+#endif
+}
+// inner parallelism pays off only for contigs with many members AND when
+// not already inside the outer per-contig parallel loop
+inline bool want_inner(size_t n_members) {
+    return n_members >= 2048 && !in_parallel();
+}
+}  // namespace
+
 namespace {
 
 struct Member {
@@ -38,25 +57,81 @@ struct BatchResult {
     std::vector<ContigResult> contigs;
 };
 
+void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms);
+void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms);
+
+// one contig: load -> subs -> indels -> subs -> store
+void polish_one(int64_t c,
+                const uint8_t* cons_flat, const int64_t* cons_off,
+                const int64_t* cons_len,
+                const uint8_t* ops_flat, const int64_t* ops_off,
+                const int64_t* ops_len, const int64_t* tstart_rel,
+                const int64_t* m_off, const int64_t* m_cnt,
+                const uint8_t* codes_flat, const int64_t* codes_off,
+                BatchResult* res)
+{
+    std::vector<uint8_t> cons(cons_flat + cons_off[c],
+                              cons_flat + cons_off[c] + cons_len[c]);
+    std::vector<Member> ms((size_t)m_cnt[c]);
+    for (int64_t k = 0; k < m_cnt[c]; ++k) {
+        const int64_t m = m_off[c] + k;
+        ms[k].ops.assign(ops_flat + ops_off[m],
+                         ops_flat + ops_off[m] + ops_len[m]);
+        ms[k].tstart = tstart_rel[m];
+        ms[k].codes = codes_flat + codes_off[m];
+    }
+    polish_subs(cons, ms);
+    polish_indels(cons, ms);
+    polish_subs(cons, ms);
+    ContigResult& out = res->contigs[(size_t)c];
+    out.cons.swap(cons);
+    out.ops.resize(ms.size());
+    out.tstart.resize(ms.size());
+    for (size_t k = 0; k < ms.size(); ++k) {
+        out.ops[k].swap(ms[k].ops);
+        out.tstart[k] = ms[k].tstart;
+    }
+}
+
 // one pass of majority-vote substitution polish; mutates cons + member ops
 void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
     if (ms.size() < 3) return;
     const int64_t L = (int64_t)cons.size();
     if (L == 0) return;
-    std::vector<int64_t> votes((size_t)L * 4, 0);
-    for (const Member& m : ms) {
-        int64_t tcol = m.tstart, qpos = 0;
-        for (uint8_t o : m.ops) {
-            if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
-                ++votes[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
-            if (o != 'i') ++tcol;
-            if (o != 'd') ++qpos;
+    std::vector<int32_t> votes((size_t)L * 4, 0);
+    if (want_inner(ms.size())) {
+        #pragma omp parallel
+        {
+            std::vector<int32_t> local((size_t)L * 4, 0);
+            #pragma omp for schedule(dynamic, 64) nowait
+            for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
+                const Member& m = ms[(size_t)mi];
+                int64_t tcol = m.tstart, qpos = 0;
+                for (uint8_t o : m.ops) {
+                    if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
+                        ++local[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
+                    if (o != 'i') ++tcol;
+                    if (o != 'd') ++qpos;
+                }
+            }
+            #pragma omp critical
+            for (size_t i = 0; i < votes.size(); ++i) votes[i] += local[i];
+        }
+    } else {
+        for (const Member& m : ms) {
+            int64_t tcol = m.tstart, qpos = 0;
+            for (uint8_t o : m.ops) {
+                if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
+                    ++votes[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
+                if (o != 'i') ++tcol;
+                if (o != 'd') ++qpos;
+            }
         }
     }
     std::vector<uint8_t> nw(cons);
     bool changed = false;
     for (int64_t c = 0; c < L; ++c) {
-        const int64_t* v = votes.data() + (size_t)c * 4;
+        const int32_t* v = votes.data() + (size_t)c * 4;
         int best = 0;
         for (int b = 1; b < 4; ++b)
             if (v[b] > v[best]) best = b;     // tie keeps lowest index
@@ -67,7 +142,9 @@ void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
     }
     if (!changed) return;
     cons.swap(nw);
-    for (Member& m : ms) {
+    #pragma omp parallel for schedule(dynamic, 64) if (want_inner(ms.size()))
+    for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
+        Member& m = ms[(size_t)mi];
         int64_t tcol = m.tstart, qpos = 0;
         for (uint8_t& o : m.ops) {
             if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
@@ -107,7 +184,10 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
             std::vector<int64_t> ndel_before(L, 0);
             for (int64_t c = 1; c < L; ++c)
                 ndel_before[c] = ndel_before[c - 1] + delmask[c - 1];
-            for (Member& m : ms) {
+            #pragma omp parallel for schedule(dynamic, 64) \
+                if (want_inner(ms.size()))
+            for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
+                Member& m = ms[(size_t)mi];
                 std::vector<uint8_t> out;
                 out.reserve(m.ops.size());
                 int64_t tcol = m.tstart;
@@ -211,7 +291,9 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
         // the oracle builds its tapes once, flips 'i'->'=' as a positional
         // overlay, and inserts 'd' at indices computed against the
         // original consumes_t (pipeline/contigs.py::_polish_indels).
-        for (Member& m : ms) {
+        #pragma omp parallel for schedule(dynamic, 64) if (want_inner(ms.size()))
+        for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
+            Member& m = ms[(size_t)mi];
             const int64_t n = (int64_t)m.ops.size();
             int64_t first_c = -1, last_c = -1;
             for (int64_t x = 0; x < n; ++x)
@@ -326,38 +408,24 @@ void* ns_polish_batch(
 {
     BatchResult* res = new BatchResult();
     res->contigs.resize((size_t)C);
-    // longest-processing-time order: contig cost is dominated by member
-    // count, so scheduling the big ones first minimizes the makespan of
-    // the dynamic parallel loop
+    // longest-processing-time order; contigs big enough for inner (per-
+    // member) parallelism run one at a time OUTSIDE the contig-parallel
+    // loop, so one giant contig can't serialize the whole batch
     std::vector<int64_t> order((size_t)C);
     for (int64_t i = 0; i < C; ++i) order[(size_t)i] = i;
     std::sort(order.begin(), order.end(),
               [&](int64_t a, int64_t b) { return m_cnt[a] > m_cnt[b]; });
+    int64_t n_big = 0;
+    while (n_big < C && m_cnt[order[(size_t)n_big]] >= 2048) ++n_big;
+    for (int64_t ci = 0; ci < n_big; ++ci)
+        polish_one(order[(size_t)ci], cons_flat, cons_off, cons_len,
+                   ops_flat, ops_off, ops_len, tstart_rel, m_off, m_cnt,
+                   codes_flat, codes_off, res);
     #pragma omp parallel for schedule(dynamic, 1)
-    for (int64_t ci = 0; ci < C; ++ci) {
-        const int64_t c = order[(size_t)ci];
-        std::vector<uint8_t> cons(cons_flat + cons_off[c],
-                                  cons_flat + cons_off[c] + cons_len[c]);
-        std::vector<Member> ms((size_t)m_cnt[c]);
-        for (int64_t k = 0; k < m_cnt[c]; ++k) {
-            const int64_t m = m_off[c] + k;
-            ms[k].ops.assign(ops_flat + ops_off[m],
-                             ops_flat + ops_off[m] + ops_len[m]);
-            ms[k].tstart = tstart_rel[m];
-            ms[k].codes = codes_flat + codes_off[m];
-        }
-        polish_subs(cons, ms);
-        polish_indels(cons, ms);
-        polish_subs(cons, ms);
-        ContigResult& out = res->contigs[(size_t)c];
-        out.cons.swap(cons);
-        out.ops.resize(ms.size());
-        out.tstart.resize(ms.size());
-        for (size_t k = 0; k < ms.size(); ++k) {
-            out.ops[k].swap(ms[k].ops);
-            out.tstart[k] = ms[k].tstart;
-        }
-    }
+    for (int64_t ci = n_big; ci < C; ++ci)
+        polish_one(order[(size_t)ci], cons_flat, cons_off, cons_len,
+                   ops_flat, ops_off, ops_len, tstart_rel, m_off, m_cnt,
+                   codes_flat, codes_off, res);
     int64_t ct = 0, ot = 0;
     for (const ContigResult& r : res->contigs) {
         ct += (int64_t)r.cons.size();
