@@ -42,11 +42,32 @@ STREAM_NAMES = ("genome", "id", "pos", "type", "base", "complement", "lone", "ex
 _MAX_VARINT_BYTES = 10  # supports full uint64
 
 
+def _native_lib():
+    try:
+        from .. import native
+
+        return native.get_lib()
+    except Exception:
+        return None
+
+
 def encode_varints(values: np.ndarray) -> np.ndarray:
     """uint64/int64 array -> concatenated LEB128 bytes (uint8 array)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.zeros(0, dtype=np.uint8)
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        v = np.ascontiguousarray(v)
+        out = np.empty(10 * v.size, dtype=np.uint8)
+        n = lib.ns_varint_encode(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(v.size),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:n]
     # number of bytes per value: ceil(bitlen/7), min 1
     nb = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -77,6 +98,19 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
     buf = np.asarray(buf, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        buf = np.ascontiguousarray(buf)
+        cap = int(np.count_nonzero(buf < 128))
+        out = np.empty(cap, dtype=np.uint64)
+        n = lib.ns_varint_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(buf.size),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        )
+        return out[:n]
     is_end = buf < 128
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)

@@ -165,5 +165,9 @@ def get_lib() -> ctypes.CDLL:
             ]
             lib.ns_engine_free.restype = None
             lib.ns_engine_free.argtypes = [ctypes.c_void_p]
+            lib.ns_varint_encode.restype = i64
+            lib.ns_varint_encode.argtypes = [u64p, i64, u8p]
+            lib.ns_varint_decode.restype = i64
+            lib.ns_varint_decode.argtypes = [u8p, i64, u64p]
             _LIB = lib
     return _LIB

@@ -199,4 +199,46 @@ void ns_edit_fill(
     }
 }
 
+// ---------------------------------------------------------------------------
+// LEB128 varints (the archive's .pos/.exc number encoding; reference
+// equivalent: DirectoryUtils write/read_var_uint32,
+// src/DirectoryUtils.cpp:6-28). Single-pass native versions of the
+// multi-pass numpy codecs in io/streams.py.
+// ---------------------------------------------------------------------------
+
+// out must have capacity 10 bytes per value; returns bytes written.
+int64_t ns_varint_encode(const uint64_t* vals, int64_t n, uint8_t* out)
+{
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t v = vals[i];
+        while (v >= 0x80) {
+            out[o++] = (uint8_t)(v | 0x80);
+            v >>= 7;
+        }
+        out[o++] = (uint8_t)v;
+    }
+    return o;
+}
+
+// out must have capacity = number of bytes < 0x80 in buf; returns count.
+int64_t ns_varint_decode(const uint8_t* buf, int64_t n, uint64_t* out)
+{
+    int64_t m = 0;
+    uint64_t v = 0;
+    int shift = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t b = buf[i];
+        v |= (uint64_t)(b & 0x7F) << shift;
+        if (b < 0x80) {
+            out[m++] = v;
+            v = 0;
+            shift = 0;
+        } else {
+            shift += 7;
+        }
+    }
+    return m;
+}
+
 }  // extern "C"
