@@ -32,6 +32,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed-w", type=int, default=50, help="minimizer window (minimap-w analog)")
     p.add_argument("--max-chain-iter", type=int, default=400)
     p.add_argument("--edge-thr", type=int, default=4_000_000)
+    # engine/codec knobs (the reference sweeps these via rebuild or env;
+    # exposing them makes the logs/2022-style parameter sweeps scriptable)
+    p.add_argument("--band", type=int, default=128,
+                   help="banded-DP half-width (escalation band)")
+    p.add_argument("--band-min", type=int, default=64,
+                   help="adaptive first-try band half-width")
+    p.add_argument("--polish-rounds", type=int, default=1,
+                   help="consensus column-voting rounds (0 disables)")
+    p.add_argument("--aligner", choices=["auto", "native", "tpu"],
+                   default="auto", help="DP backend for contig growth")
+    p.add_argument("--workers", type=int, default=0,
+                   help="contig-growth worker processes (0 = auto)")
+    p.add_argument("--min-overlap", type=int, default=150)
+    p.add_argument("--base-codec", default=None,
+                   help="codec for .base/.lone streams (default: config)")
+    p.add_argument("--default-codec", default=None,
+                   help="codec for the remaining streams (default: nsbwt)")
     p.add_argument("-w", "--work-dir", default=None, help="temp dir root")
     p.add_argument("--low-mem", action="store_true")
     p.add_argument("--no-assembly", action="store_true", help="store all reads lone")
@@ -58,6 +75,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # catch-all: temp files are owned by try/finally inside the stages, so
+    # any exception (or SIGINT -> SystemExit) unwinds through their cleanup
+    # before we report and exit nonzero (reference: src/main.cpp:160-176)
+    try:
+        return _dispatch(argv)
+    except KeyboardInterrupt:
+        print("interrupted", file=sys.stderr)
+        return 130
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        print(f"nstpu: error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(argv: list[str] | None) -> int:
     args = build_parser().parse_args(argv)
 
     # SIGINT: temp files are cleaned by context managers; just exit nonzero
@@ -101,7 +132,17 @@ def main(argv: list[str] | None = None) -> int:
             work_dir=args.work_dir,
             disable_assembly=args.no_assembly,
             checks=args.checks,
+            band_width=args.band,
+            band_width_min=args.band_min,
+            polish_rounds=args.polish_rounds,
+            aligner=args.aligner,
+            pipeline_workers=args.workers,
+            min_overlap=args.min_overlap,
         )
+        if args.base_codec:
+            cfg.base_codec = args.base_codec
+        if args.default_codec:
+            cfg.default_codec = args.default_codec
         from .compressor import compress_file
 
         compress_file(args.input, args.output, cfg, report=not args.quiet)

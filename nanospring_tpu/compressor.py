@@ -45,6 +45,13 @@ def compress_file(
             f"total {store.total_bases/1e9:.3f} Gbases"
         )
 
+    try:
+        return _compress_loaded(store, out_path, cfg, timer, stats, report)
+    finally:
+        store.cleanup()  # low-mem spill file (no-op in memory mode)
+
+
+def _compress_loaded(store, out_path, cfg, timer, stats, report) -> dict:
     with timer.stage("pipeline"):
         from .pipeline import driver
 

@@ -306,12 +306,16 @@ def _decompress_bounded(
         mm = np.memmap(spill.name, dtype=np.uint8, mode="r") if total else \
             np.zeros(0, np.uint8)
         final_offs = _excl_cumsum(final_lens)
+        # one global cumsum; each pass binary-searches a view (the per-pass
+        # recompute was O(N * passes) on exactly the multi-pass inputs)
+        cum_all = np.cumsum(final_lens)
         with open(out_path, "wb") as f:
             lo = 0
             while lo < num_reads:
                 # widen the pass until its bases exceed the budget
-                cum = np.cumsum(final_lens[lo:])
-                hi = lo + int(np.searchsorted(cum, budget_bases)) + 1
+                base = int(cum_all[lo - 1]) if lo else 0
+                hi = lo + int(np.searchsorted(cum_all[lo:],
+                                              base + budget_bases)) + 1
                 hi = min(hi, num_reads)
                 lens = final_lens[lo:hi]
                 blk = np.full(int(lens.sum()) + len(lens), ord("\n"), np.uint8)

@@ -46,11 +46,25 @@ class ReadStore:
         exc_byte: np.ndarray,     # uint8 original byte
     ):
         self.packed = np.asarray(packed_buf)
-        self.offsets = offsets
-        self.lengths = lengths
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        self.lengths = np.ascontiguousarray(lengths, dtype=np.int64)
         self.exc_read = exc_read
         self.exc_pos = exc_pos
         self.exc_byte = exc_byte
+        self.temp_path: str | None = None  # low-mem spill file (owned)
+
+    def cleanup(self) -> None:
+        """Delete the low-mem spill file (no-op for in-memory stores).
+
+        The reference leaves this to its temp-dir teardown
+        (src/main.cpp:160-176); here the store owns its own spill.
+        """
+        if self.temp_path and os.path.exists(self.temp_path):
+            # drop the memmap reference first so the unlink isn't holding
+            # a mapped file open on platforms that care
+            self.packed = np.zeros(0, dtype=np.uint8)
+            os.unlink(self.temp_path)
+            self.temp_path = None
 
     @property
     def num_reads(self) -> int:
@@ -86,7 +100,9 @@ class ReadStore:
         Vectorized gather: builds one flat byte-index array for all reads at
         once, a single fancy-index into the packed buffer, then one unpack.
         """
-        rids = np.asarray(rids, dtype=np.int64)
+        # ctypes paths read raw pointers: force C-contiguity (a strided
+        # int64 view would silently gather wrong reads)
+        rids = np.ascontiguousarray(rids, dtype=np.int64)
         lens = self.lengths[rids]
         Lpad = int(pad_to if pad_to is not None else (lens.max() if len(lens) else 0))
         B = len(rids)
@@ -138,7 +154,9 @@ class ReadStore:
             return None
         import ctypes
 
-        rids = np.asarray(rids, dtype=np.int64)
+        # ctypes paths read raw pointers: force C-contiguity (a strided
+        # int64 view would silently gather wrong reads)
+        rids = np.ascontiguousarray(rids, dtype=np.int64)
         lens = self.lengths[rids]
         B = len(rids)
         nbytes_pad = (pad_to + 3) // 4
@@ -185,8 +203,11 @@ class ReadStoreBuilder:
         self._file_path = None
         self._file_bytes = 0
         if low_mem:
-            self._file_path = os.path.join(work_dir, f"nstpu_reads_{os.getpid()}.packed")
-            self._file = open(self._file_path, "wb")
+            import tempfile
+
+            fd, self._file_path = tempfile.mkstemp(
+                prefix="nstpu_reads_", suffix=".packed", dir=work_dir)
+            self._file = os.fdopen(fd, "wb")
 
     def add_batch(self, ascii_flat: np.ndarray, lengths: np.ndarray) -> None:
         """Add a batch of reads (concatenated ASCII bytes + per-read lengths)."""
@@ -257,7 +278,8 @@ class ReadStoreBuilder:
             np.cumsum(nbytes_per_read[:-1], out=offsets[1:])
         if self.low_mem:
             self._file.close()
-            buf = np.memmap(self._file_path, dtype=np.uint8, mode="r")
+            buf = np.memmap(self._file_path, dtype=np.uint8, mode="r") \
+                if self._file_bytes else np.zeros(0, dtype=np.uint8)
         else:
             buf = (
                 np.concatenate(self._packed_parts)
@@ -274,7 +296,9 @@ class ReadStoreBuilder:
             exc_read = np.zeros(0, dtype=np.int64)
             exc_pos = np.zeros(0, dtype=np.int64)
             exc_byte = np.zeros(0, dtype=np.uint8)
-        return ReadStore(buf, offsets, lengths, exc_read, exc_pos, exc_byte)
+        store = ReadStore(buf, offsets, lengths, exc_read, exc_pos, exc_byte)
+        store.temp_path = self._file_path  # None unless low_mem
+        return store
 
     def cleanup(self) -> None:
         if self._file_path and os.path.exists(self._file_path):
@@ -285,7 +309,11 @@ def _iter_record_blocks(path: str, chunk_bytes: int = 64 << 20):
     """Yield FASTQ text blocks cut at 4-line record boundaries."""
     import gzip
 
-    opener = gzip.open if path.endswith(".gz") else open
+    # gzip by magic, not extension (the reference handles gzip
+    # transparently via boost::iostreams, src/ReadData.cpp:95-106)
+    with open(path, "rb") as probe:
+        is_gz = probe.read(2) == b"\x1f\x8b"
+    opener = gzip.open if is_gz else open
     carry = b""
     with opener(path, "rb") as f:
         while True:

@@ -61,13 +61,21 @@ def encode_varints(values: np.ndarray) -> np.ndarray:
         import ctypes
 
         v = np.ascontiguousarray(v)
-        out = np.empty(10 * v.size, dtype=np.uint8)
+        # exact output size first (cheap vectorized bit-length pass) so the
+        # buffer is sized to the stream, not 10 B/value worst case
+        total = int(v.size)
+        tmp = v >> np.uint64(7)
+        while tmp.any():
+            total += int(np.count_nonzero(tmp))
+            tmp >>= np.uint64(7)
+        out = np.empty(total, dtype=np.uint8)
         n = lib.ns_varint_encode(
             v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ctypes.c_int64(v.size),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
-        return out[:n]
+        assert n == total
+        return out
     # number of bytes per value: ceil(bitlen/7), min 1
     nb = np.ones(v.shape, dtype=np.int64)
     tmp = v >> np.uint64(7)

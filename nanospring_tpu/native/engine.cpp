@@ -369,9 +369,10 @@ struct Engine {
         m.ops = ops;
         st.members.push_back(std::move(m));
         st.total_aligned += mlen;
-        // anchor table through the alignment (sorted order preserved)
-        auto cit = mz_cache.find(p.item.rid);
-        const Anchors& fw = cit->second;
+        // anchor table through the alignment (sorted order preserved);
+        // forward_minimizers re-creates the cache entry if a reordering
+        // ever evicted it (place() normally populates it first)
+        const Anchors& fw = forward_minimizers(p.item.rid);
         Anchors out;
         out.h.resize(fw.h.size());
         out.p.resize(fw.p.size());

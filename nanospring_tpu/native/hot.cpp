@@ -61,7 +61,7 @@ void ns_gather_packed(
 }
 
 // Repetitive-read screen: flag reads whose best Hamming self-similarity at
-// offsets 1..maxoff exceeds thr (fraction scaled by 2^16 to keep the ABI
+// offsets 1..maxoff exceeds thr (fraction scaled by 1e6 to keep the ABI
 // integral). Semantics mirror the reference checkRepetitive
 // (src/Consensus.cpp:405-424): similarity(off) = matches / (len - off);
 // reads with len <= maxoff are never flagged.

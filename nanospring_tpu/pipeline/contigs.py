@@ -675,11 +675,15 @@ def _emit_group(states: list, store) -> dict:
     trace = os.environ.get("NSTPU_TRACE")
     if trace:
         # per-contig trace lines (the reference's -DLOG per-thread logfile
-        # timelines, src/Consensus.cpp:32-49)
+        # timelines, src/Consensus.cpp:32-49); lines carry the pid because
+        # grow workers append concurrently and contig indices are per-group
+        pid = os.getpid()
+        lines = "".join(
+            f"pid {pid} contig {i} members={len(st.members)} "
+            f"cons_len={len(st.cons)} lo={st.lo}\n"
+            for i, st in enumerate(states))
         with open(trace, "a") as f:
-            for i, st in enumerate(states):
-                f.write(f"contig {i} members={len(st.members)} "
-                        f"cons_len={len(st.cons)} lo={st.lo}\n")
+            f.write(lines)
     return {
         "consensus_list": [st.cons for st in states],
         "reads_per_contig": np.array([len(st.members) for st in states], np.int64),

@@ -86,6 +86,41 @@ def test_low_mem_store(tmp_path):
     reads = synth.make_reads(genome, 30, 1_000, rng)
     cfg = CompressConfig(disable_assembly=True, low_mem=True, work_dir=str(tmp_path))
     _roundtrip(tmp_path, reads, cfg=cfg)
+    # the spill file must be cleaned up after compression
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".packed")]
+    assert leftovers == [], leftovers
+
+
+def test_low_mem_full_pipeline(tmp_path):
+    """Full assembly engine + low_mem store (the big-input configuration)."""
+    rng = np.random.default_rng(13)
+    genome = synth.random_genome(40_000, rng)
+    reads = synth.make_reads(genome, 80, 3_000, rng)
+    cfg = CompressConfig(low_mem=True, work_dir=str(tmp_path),
+                         pipeline_workers=1)
+    res = _roundtrip(tmp_path, reads, cfg=cfg)
+    assert res["ratio"] > 1.0
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".packed")]
+    assert leftovers == [], leftovers
+
+
+def test_gzip_input_named_fastq(tmp_path, lone_cfg):
+    """A gzipped file without the .gz extension must be detected by magic
+    (reference handles gzip transparently, src/ReadData.cpp:95-106)."""
+    rng = np.random.default_rng(14)
+    genome = synth.random_genome(5_000, rng)
+    reads = synth.make_reads(genome, 15, 600, rng)
+    gz = str(tmp_path / "in.fastq.gz")
+    synth.write_fastq(gz, reads)
+    fq = str(tmp_path / "misnamed.fastq")
+    os.rename(gz, fq)
+    arc = str(tmp_path / "o.nstpu")
+    out = str(tmp_path / "o.reads")
+    compress_file(fq, arc, lone_cfg, report=False)
+    decompress_file(arc, out, report=False)
+    with open(out, "rb") as f:
+        got = f.read().split(b"\n")[:-1]
+    assert got == reads
 
 
 def test_checks_mode_invariants(tmp_path):
