@@ -145,6 +145,17 @@ def get_lib() -> ctypes.CDLL:
                 u64p, i64p, u8p, i64, u64p, i64p, u8p, i64,
                 i64, i32, i32, i32p, i64p, i64p,
             ]
+            lib.ns_anchor_join_chain.restype = i32
+            lib.ns_anchor_join_chain.argtypes = [
+                u64p, i64p, u8p, i64, u64p, i64p, u8p, i64,
+                i64, i32, i32, i32p, i64p, i64p,
+                i64p, i64p, i64, i64p,
+            ]
+            lib.ns_stitch_align.restype = i32
+            lib.ns_stitch_align.argtypes = [
+                u8p, i64, u8p, i64, i64p, i64p, i64,
+                i64, i32, i32, u8p, i64, i64p, i64p, i64p,
+            ]
             lib.ns_accept_anchors.restype = i64
             lib.ns_accept_anchors.argtypes = [
                 u8p, i64, i64, i64, i32, i32,

@@ -18,7 +18,10 @@
 //
 // C ABI only (consumed via ctypes).
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -185,6 +188,366 @@ int32_t ns_banded_align(
     *tstart_out = tstart;
     *tend_out = d0 + m - W + best_k;
     return best_cost;
+}
+
+// ---------------------------------------------------------------------------
+// Anchor-stitched alignment: verify the (cheap, vectorizable) match runs
+// between anchor pins and run banded DP only on the small gap segments.
+// This is the role minimap2 plays in the reference — its chain anchors
+// bound the ksw_extz2_sse extensions (minimap2/align.c:864,329;
+// used from src/ConsensusGraph.cpp:161-247) — so base-level DP touches a
+// few percent of the bases instead of all of them.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// NS_ENGINE_DEBUG diagnostics: [0] -4 chain<2, [1] -4 head/tail too deep,
+// [2] head -1, [3] middle -1, [4] tail -1, [5] budget -1, [6] ok
+std::atomic<int64_t> g_stitch_stats[8];
+
+struct SegScratch {
+    std::vector<int32_t> r0, r1;
+    std::vector<uint8_t> dirs;
+    std::vector<uint8_t> rops;
+};
+thread_local SegScratch g_seg;
+
+// Banded global/semi-global DP on one small segment.
+//   band: j - i in [dlo, dhi]
+//   free_start: row 0 costs 0 at every in-band j (else only (0,0))
+//   free_end:   answer is min over row m (else pinned at j == n)
+// Appends ops ('=','s','i','d') to ops_out at *len (caller-checked cap),
+// sets *ts (start j) and *te (end j). Returns segment cost, or -1 if the
+// pinned cells are unreachable within the band / budget.
+int32_t seg_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+                  int64_t dlo, int64_t dhi, bool free_start, bool free_end,
+                  int32_t budget,
+                  uint8_t* ops_out, int64_t ops_cap, int64_t* len,
+                  int64_t* ts, int64_t* te)
+{
+    const int64_t width = dhi - dlo + 1;
+    if (width <= 0) return -1;
+    SegScratch& s = g_seg;
+    s.r0.assign((size_t)(width + 2), INF);
+    s.r1.assign((size_t)(width + 2), INF);
+    if (s.dirs.size() < (size_t)((m + 1) * width))
+        s.dirs.resize((size_t)((m + 1) * width));
+    int32_t* prev = s.r0.data() + 1;   // sentinel INF at both ends
+    int32_t* cur = s.r1.data() + 1;
+    // row 0: j = dlo + k
+    for (int64_t k = 0; k < width; ++k) {
+        const int64_t j = dlo + k;
+        if (j < 0 || j > n) continue;
+        if (free_start) prev[k] = 0;
+        else if (j == 0) prev[k] = 0;
+    }
+    if (!free_start) {
+        // left (del) moves from (0,0) along row 0 cost j
+        for (int64_t k = 0; k < width; ++k) {
+            const int64_t j = dlo + k;
+            if (j > 0 && j <= n) {
+                const int32_t v = (int32_t)j;
+                if (v < prev[k]) prev[k] = v;
+            }
+        }
+    }
+    for (int64_t i = 1; i <= m; ++i) {
+        const int32_t qc = q[i - 1];
+        uint8_t* dir_row = s.dirs.data() + (size_t)(i * width);
+        // valid slots this row: j = i + dlo + k in [0, n]
+        int64_t klo = -(i + dlo) > 0 ? -(i + dlo) : 0;
+        int64_t khi = n - (i + dlo);
+        if (khi > width - 1) khi = width - 1;
+        if (klo > khi) return -1;   // band exhausted
+        for (int64_t k = 0; k < klo; ++k) { cur[k] = INF; dir_row[k] = 3; }
+        for (int64_t k = khi + 1; k < width; ++k) {
+            cur[k] = INF;
+            dir_row[k] = 3;
+        }
+        int64_t k0 = klo;
+        if (i + dlo + klo == 0) {   // j == 0: insertion only
+            cur[klo] = prev[klo + 1] + 1;
+            dir_row[klo] = 1;
+            k0 = klo + 1;
+        }
+        {   // diag/up pass (branch-free, auto-vectorizes)
+            const uint8_t* __restrict tj = t + (i + dlo - 1);
+            const int32_t* __restrict pv = prev;
+            int32_t* __restrict cv = cur;
+            uint8_t* __restrict dv = dir_row;
+            #pragma GCC ivdep
+            for (int64_t k = k0; k <= khi; ++k) {
+                const int32_t diag = pv[k] + (int32_t)(tj[k] != qc);
+                const int32_t up = pv[k + 1] + 1;
+                cv[k] = diag <= up ? diag : up;    // ties keep diag ('='/'s'
+                dv[k] = (uint8_t)(up < diag);      // beats 'i' for ratio)
+            }
+        }
+        // left-chain pass (serial, rarely taken) + row min
+        int32_t row_min = cur[klo];
+        for (int64_t k = k0 == klo ? klo + 1 : k0; k <= khi; ++k) {
+            const int32_t left = cur[k - 1] + 1;
+            if (left < cur[k]) { cur[k] = left; dir_row[k] = 2; }
+            if (cur[k] < row_min) row_min = cur[k];
+        }
+        if (row_min > budget) return -1;
+        std::swap(prev, cur);
+    }
+    int64_t best_k = -1;
+    int32_t best_cost = INF;
+    if (free_end) {
+        for (int64_t k = 0; k < width; ++k) {
+            const int64_t j = m + dlo + k;
+            if (j < 0 || j > n) continue;
+            if (prev[k] < best_cost) { best_cost = prev[k]; best_k = k; }
+        }
+    } else {
+        const int64_t k = n - m - dlo;
+        if (k >= 0 && k < width && prev[k] < INF) {
+            best_cost = prev[k];
+            best_k = k;
+        }
+    }
+    if (best_k < 0 || best_cost > budget) return -1;
+    // traceback (reversed, then appended forward)
+    s.rops.clear();
+    int64_t i = m, k = best_k;
+    while (i > 0) {
+        const uint8_t d = s.dirs[(size_t)(i * width + k)];
+        if (d == 0) {
+            const int64_t j = i + dlo + k;
+            s.rops.push_back(t[j - 1] == q[i - 1] ? '=' : 's');
+            i -= 1;
+        } else if (d == 1) {
+            s.rops.push_back('i');
+            i -= 1; k += 1;
+        } else if (d == 2) {
+            s.rops.push_back('d');
+            k -= 1;
+        } else {
+            return -1;
+        }
+    }
+    int64_t j0 = dlo + k;   // j at i == 0
+    if (!free_start && j0 > 0) {
+        // row-0 deletions from the pinned (0,0) start
+        for (int64_t x = 0; x < j0; ++x) s.rops.push_back('d');
+        j0 = 0;
+    }
+    if (*len + (int64_t)s.rops.size() > ops_cap) return -1;
+    for (int64_t x = (int64_t)s.rops.size() - 1; x >= 0; --x)
+        ops_out[(*len)++] = s.rops[(size_t)x];
+    *ts = j0;
+    *te = m + dlo + best_k;
+    return best_cost;
+}
+
+}  // namespace
+
+namespace {
+// NS_STITCH_DUMP=<path-prefix>: dump the first few failing stitch calls
+// (whole-pair inputs) for offline inspection.
+std::atomic<int32_t> g_dump_n{0};
+void stitch_dump(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+                 const int64_t* aq, const int64_t* at, int64_t A,
+                 int64_t d0, int32_t W, int32_t max_cost, int tag)
+{
+    const char* pfx = std::getenv("NS_STITCH_DUMP");
+    if (!pfx) return;
+    const int32_t i = g_dump_n.fetch_add(1);
+    if (i >= 6) return;
+    char path[512];
+    std::snprintf(path, sizeof path, "%s_%d_tag%d.bin", pfx, i, tag);
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return;
+    int64_t hdr[5] = {n, m, A, d0, (int64_t)((int64_t)W << 32 | max_cost)};
+    std::fwrite(hdr, sizeof(int64_t), 5, f);
+    std::fwrite(t, 1, (size_t)n, f);
+    std::fwrite(q, 1, (size_t)m, f);
+    std::fwrite(aq, sizeof(int64_t), (size_t)A, f);
+    std::fwrite(at, sizeof(int64_t), (size_t)A, f);
+    std::fclose(f);
+}
+}  // namespace
+
+// Stitched glocal alignment of q[0..m) against t[0..n) through anchor pins
+// (aq, at) (strictly-positive counts, sorted by aq; window-relative
+// coordinates). W bounds the diagonal wander accepted from the pin chain;
+// max_cost is the same admission budget ns_banded_align enforces.
+// Returns cost >= 0, -1 on reject (budget exceeded / band broken), or
+// -4 when the chain is unusable and the caller should run full banded DP.
+int32_t ns_stitch_align(
+    const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+    const int64_t* aq, const int64_t* at, int64_t A,
+    int64_t d0, int32_t W, int32_t max_cost,
+    uint8_t* ops_out, int64_t ops_cap, int64_t* ops_len,
+    int64_t* tstart_out, int64_t* tend_out)
+{
+    constexpr int64_t JUMP_MAX = 64;    // max diag shift between pins
+    constexpr int64_t LOOKBACK = 64;    // chain-DP lookback bound
+    constexpr int32_t SUB_MAX = 3;      // mismatches tolerated per run
+                                        // before the segment is DP'd
+    // in-band candidate pins
+    std::vector<int64_t> fq_, ft_;
+    fq_.reserve((size_t)A);
+    ft_.reserve((size_t)A);
+    for (int64_t x = 0; x < A; ++x) {
+        const int64_t qx = aq[x], tx = at[x];
+        if (qx < 0 || qx >= m || tx < 0 || tx >= n) continue;
+        const int64_t diag = tx - qx;
+        if (diag < d0 - W || diag > d0 + W) continue;
+        fq_.push_back(qx);
+        ft_.push_back(tx);
+    }
+    const int64_t F = (int64_t)fq_.size();
+    if (F < 2) { g_stitch_stats[0]++; return -4; }
+    // longest monotone chain with bounded diagonal jumps (the greedy
+    // keep-first rule let one outlier pin poison the whole chain; this is
+    // the O(F * lookback) analog of minimap2's chain DP, minimap2/chain.c)
+    std::vector<int32_t> f((size_t)F, 1);
+    std::vector<int64_t> par((size_t)F, -1);
+    int64_t best_i = 0;
+    for (int64_t i = 1; i < F; ++i) {
+        const int64_t lo = i - LOOKBACK < 0 ? 0 : i - LOOKBACK;
+        const int64_t di = ft_[(size_t)i] - fq_[(size_t)i];
+        for (int64_t j = i - 1; j >= lo; --j) {
+            if (f[(size_t)j] + 1 <= f[(size_t)i]) continue;
+            if (fq_[(size_t)j] >= fq_[(size_t)i]) continue;
+            if (ft_[(size_t)j] >= ft_[(size_t)i]) continue;
+            const int64_t dj = ft_[(size_t)j] - fq_[(size_t)j];
+            if (di - dj > JUMP_MAX || dj - di > JUMP_MAX) continue;
+            f[(size_t)i] = f[(size_t)j] + 1;
+            par[(size_t)i] = j;
+        }
+        if (f[(size_t)i] > f[(size_t)best_i]) best_i = i;
+    }
+    std::vector<int64_t> cq, ct;
+    cq.reserve((size_t)f[(size_t)best_i]);
+    ct.reserve((size_t)f[(size_t)best_i]);
+    for (int64_t x = best_i; x >= 0; x = par[(size_t)x]) {
+        cq.push_back(fq_[(size_t)x]);
+        ct.push_back(ft_[(size_t)x]);
+        if (par[(size_t)x] < 0) break;
+    }
+    std::reverse(cq.begin(), cq.end());
+    std::reverse(ct.begin(), ct.end());
+    const int64_t C = (int64_t)cq.size();
+    if (C < 2) { g_stitch_stats[1]++; return -4; }
+
+    int64_t len = 0;
+    int32_t cost = 0;
+    int64_t tstart = ct.front();
+
+    // head: free target start, pinned end at (cq0, ct0)
+    if (cq.front() > 0) {
+        const int64_t hq = cq.front();
+        const int64_t pad = std::min<int64_t>(W, 8 + hq / 8);
+        const int64_t ts0 = std::max<int64_t>(0, ct.front() - hq - pad);
+        const int64_t n1 = ct.front() - ts0;
+        // if the query head overhangs the target start (n1 < hq), the path
+        // climbs j == 0 with leading inserts: j - i spans up to 0 there
+        int64_t sts = 0, ste = 0;
+        const int32_t c1 = seg_align(
+            t + ts0, n1, q, hq,
+            (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
+            /*free_start=*/true,
+            /*free_end=*/false, max_cost - cost,
+            ops_out, ops_cap, &len, &sts, &ste);
+        if (c1 < 0) {
+            g_stitch_stats[2]++;
+            stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 2);
+            return -1;
+        }
+        cost += c1;
+        tstart = ts0 + sts;
+    }
+
+    // middles: between consecutive pins
+    for (int64_t x = 1; x < C; ++x) {
+        const int64_t q0 = cq[(size_t)x - 1], q1 = cq[(size_t)x];
+        const int64_t t0 = ct[(size_t)x - 1], t1 = ct[(size_t)x];
+        const int64_t mq = q1 - q0, mt = t1 - t0;
+        if (mq == mt) {
+            // same diagonal: verify as a substitution run
+            const uint8_t* tp = t + t0;
+            const uint8_t* qp = q + q0;
+            int32_t mc = 0;
+            for (int64_t y = 0; y < mq; ++y) mc += (int32_t)(tp[y] != qp[y]);
+            if (mc <= SUB_MAX) {
+                if (len + mq > ops_cap) return -1;
+                for (int64_t y = 0; y < mq; ++y)
+                    ops_out[len++] = tp[y] == qp[y] ? '=' : 's';
+                cost += mc;
+                if (cost > max_cost) return -1;
+                continue;
+            }
+        }
+        // greedy snake trim (exact for unit costs: matching symbols at a
+        // pinned end can always begin/end an optimal alignment), then DP
+        // only the core around the indel/mismatch cluster
+        const uint8_t* tp = t + t0;
+        const uint8_t* qp = q + q0;
+        int64_t pre = 0;
+        while (pre < mq && pre < mt && qp[pre] == tp[pre]) ++pre;
+        int64_t suf = 0;
+        const int64_t lim = std::min(mq, mt) - pre;
+        while (suf < lim && qp[mq - 1 - suf] == tp[mt - 1 - suf]) ++suf;
+        const int64_t cq1 = mq - pre - suf, ct1 = mt - pre - suf;
+        if (len + pre + suf > ops_cap) return -1;
+        for (int64_t y = 0; y < pre; ++y) ops_out[len++] = '=';
+        if (cq1 > 0 || ct1 > 0) {
+            const int64_t dn = ct1 - cq1;
+            const int64_t pad =
+                std::min<int64_t>(W, 4 + std::max(cq1, ct1) / 24);
+            int64_t sts = 0, ste = 0;
+            const int32_t c1 = seg_align(
+                tp + pre, ct1, qp + pre, cq1,
+                std::min<int64_t>(0, dn) - pad,
+                std::max<int64_t>(0, dn) + pad,
+                /*free_start=*/false, /*free_end=*/false, max_cost - cost,
+                ops_out, ops_cap, &len, &sts, &ste);
+            if (c1 < 0) { g_stitch_stats[3]++; return -1; }
+            cost += c1;
+        }
+        if (len + suf > ops_cap) return -1;
+        for (int64_t y = 0; y < suf; ++y) ops_out[len++] = '=';
+    }
+
+    // tail: pinned start at the last pin, free target end
+    int64_t tend = ct.back();
+    if (m - cq.back() > 0) {
+        const int64_t tq = m - cq.back();
+        const int64_t pad = std::min<int64_t>(W, 8 + tq / 8);
+        const int64_t n1 = std::min(n, ct.back() + tq + pad) - ct.back();
+        // if the query tail overhangs the target end (n1 < tq), the path
+        // descends j == n1 with trailing inserts: j - i reaches n1 - tq
+        int64_t sts = 0, ste = 0;
+        const int32_t c1 = seg_align(
+            t + ct.back(), n1, q + cq.back(), tq,
+            std::min<int64_t>(0, n1 - tq) - pad, pad,
+            /*free_start=*/false, /*free_end=*/true,
+            max_cost - cost,
+            ops_out, ops_cap, &len, &sts, &ste);
+        if (c1 < 0) {
+            g_stitch_stats[4]++;
+            stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 4);
+            return -1;
+        }
+        cost += c1;
+        tend = ct.back() + ste;
+    }
+    if (cost > max_cost) { g_stitch_stats[5]++; return -1; }
+    g_stitch_stats[6]++;
+    *ops_len = len;
+    *tstart_out = tstart;
+    *tend_out = tend;
+    return cost;
+}
+
+// NS_ENGINE_DEBUG diagnostics for the stitched path.
+void ns_stitch_stats(int64_t* out8)
+{
+    for (int i = 0; i < 8; ++i) out8[i] = g_stitch_stats[i].load();
 }
 
 // Batch interface: pairs share flat code buffers. Returns number of pairs

@@ -45,31 +45,33 @@ int64_t ns_anchor_prepare(uint64_t* h, int64_t* p, uint8_t* f, int64_t n)
 }
 
 // Diagonal-vote match of read b against anchor table a (both sorted
-// unique). Returns 1 and fills (is_rc, d0, votes) when anchors matched,
-// 0 otherwise. Semantics identical to ops/minimizers.py::match_anchors:
+// unique), plus the matched-anchor chain for the stitched aligner.
+// Returns 1 and fills (is_rc, d0, votes) when anchors matched, 0
+// otherwise. Vote semantics identical to ops/minimizers.py::match_anchors:
 // evenly subsample to max_anchors, majority strand, median diagonal
 // (even count: mean of middle two, truncated toward zero).
-int32_t ns_anchor_join(
-    const uint64_t* ha, const int64_t* pa, const uint8_t* fa, int64_t na,
-    const uint64_t* hb, const int64_t* pb, const uint8_t* fb, int64_t nb,
+//
+// When cap > 0, additionally writes up to cap majority-strand matches as
+// (aq_out = b-oriented query pos, at_out = a's target pos), sorted by
+// query pos (evenly subsampled with endpoints pinned if there are more
+// than cap); *n_anchors_out receives the count. These are the pinning
+// points ns_stitch_align verifies between (the role of minimap2's chain
+// seeds feeding mm_align_skeleton's between-anchor extension,
+// minimap2/align.c:864).
+// Vote + chain over an explicit match list (mpa = target pos, mpb =
+// b-forward pos, mrc = strand mismatch). Shared by the merge-join entry
+// point below and the engine's contig-wide anchor map.
+int32_t ns_anchor_vote_chain(
+    const int64_t* mpa_in, const int64_t* mpb_in, const uint8_t* mrc_in,
+    int64_t c,
     int64_t len_b, int32_t k, int32_t max_anchors,
-    int32_t* is_rc_out, int64_t* d0_out, int64_t* votes_out)
+    int32_t* is_rc_out, int64_t* d0_out, int64_t* votes_out,
+    int64_t* aq_out, int64_t* at_out, int64_t cap, int64_t* n_anchors_out)
 {
-    std::vector<int64_t> mpa, mpb;
-    std::vector<uint8_t> mrc;
-    int64_t i = 0, j = 0;
-    while (i < na && j < nb) {
-        if (ha[i] < hb[j]) ++i;
-        else if (ha[i] > hb[j]) ++j;
-        else {
-            mpa.push_back(pa[i]);
-            mpb.push_back(pb[j]);
-            mrc.push_back((uint8_t)(fa[i] != fb[j]));
-            ++i;
-            ++j;
-        }
-    }
-    const int64_t c = (int64_t)mpa.size();
+    if (n_anchors_out) *n_anchors_out = 0;
+    const int64_t* mpa = mpa_in;
+    const int64_t* mpb = mpb_in;
+    const uint8_t* mrc = mrc_in;
     if (c == 0) return 0;
     std::vector<int64_t> sel;
     if (c > max_anchors) {
@@ -110,7 +112,87 @@ int32_t ns_anchor_join(
     *is_rc_out = rc ? 1 : 0;
     *d0_out = med;
     *votes_out = (int64_t)diag.size();
+
+    if (cap > 0 && aq_out && at_out && n_anchors_out) {
+        // full majority-strand match list in oriented query coords
+        std::vector<int64_t> cq, ct;
+        cq.reserve((size_t)c);
+        ct.reserve((size_t)c);
+        for (int64_t x = 0; x < c; ++x) {
+            if ((bool)mrc[(size_t)x] != rc) continue;
+            const int64_t qp =
+                rc ? (len_b - k - mpb[(size_t)x]) : mpb[(size_t)x];
+            cq.push_back(qp);
+            ct.push_back(mpa[(size_t)x]);
+        }
+        const int64_t nc = (int64_t)cq.size();
+        std::vector<int64_t> ord((size_t)nc);
+        std::iota(ord.begin(), ord.end(), 0);
+        std::sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+            if (cq[(size_t)a] != cq[(size_t)b])
+                return cq[(size_t)a] < cq[(size_t)b];
+            return ct[(size_t)a] < ct[(size_t)b];
+        });
+        int64_t m = 0;
+        if (nc <= cap) {
+            for (int64_t x = 0; x < nc; ++x) {
+                aq_out[m] = cq[(size_t)ord[(size_t)x]];
+                at_out[m] = ct[(size_t)ord[(size_t)x]];
+                ++m;
+            }
+        } else {
+            const double step = (double)(nc - 1) / (double)(cap - 1);
+            for (int64_t s = 0; s < cap; ++s) {
+                int64_t x = (s == cap - 1) ? nc - 1
+                                           : (int64_t)((double)s * step);
+                aq_out[m] = cq[(size_t)ord[(size_t)x]];
+                at_out[m] = ct[(size_t)ord[(size_t)x]];
+                ++m;
+            }
+        }
+        *n_anchors_out = m;
+    }
     return 1;
+}
+
+// Merge-join of two sorted-unique tables feeding the vote+chain.
+int32_t ns_anchor_join_chain(
+    const uint64_t* ha, const int64_t* pa, const uint8_t* fa, int64_t na,
+    const uint64_t* hb, const int64_t* pb, const uint8_t* fb, int64_t nb,
+    int64_t len_b, int32_t k, int32_t max_anchors,
+    int32_t* is_rc_out, int64_t* d0_out, int64_t* votes_out,
+    int64_t* aq_out, int64_t* at_out, int64_t cap, int64_t* n_anchors_out)
+{
+    std::vector<int64_t> mpa, mpb;
+    std::vector<uint8_t> mrc;
+    int64_t i = 0, j = 0;
+    while (i < na && j < nb) {
+        if (ha[i] < hb[j]) ++i;
+        else if (ha[i] > hb[j]) ++j;
+        else {
+            mpa.push_back(pa[i]);
+            mpb.push_back(pb[j]);
+            mrc.push_back((uint8_t)(fa[i] != fb[j]));
+            ++i;
+            ++j;
+        }
+    }
+    return ns_anchor_vote_chain(
+        mpa.data(), mpb.data(), mrc.data(), (int64_t)mpa.size(),
+        len_b, k, max_anchors, is_rc_out, d0_out, votes_out,
+        aq_out, at_out, cap, n_anchors_out);
+}
+
+// Back-compat vote-only entry point (tests, Python oracle).
+int32_t ns_anchor_join(
+    const uint64_t* ha, const int64_t* pa, const uint8_t* fa, int64_t na,
+    const uint64_t* hb, const int64_t* pb, const uint8_t* fb, int64_t nb,
+    int64_t len_b, int32_t k, int32_t max_anchors,
+    int32_t* is_rc_out, int64_t* d0_out, int64_t* votes_out)
+{
+    return ns_anchor_join_chain(ha, pa, fa, na, hb, pb, fb, nb, len_b, k,
+                                max_anchors, is_rc_out, d0_out, votes_out,
+                                nullptr, nullptr, 0, nullptr);
 }
 
 // Build an accepted member's anchor table from its (sorted-unique) forward

@@ -40,9 +40,14 @@ extern "C" {
 int64_t ns_minimizers(const uint8_t*, int64_t, int32_t, int32_t,
                       uint64_t*, int64_t*, uint8_t*);
 int64_t ns_anchor_prepare(uint64_t*, int64_t*, uint8_t*, int64_t);
-int32_t ns_anchor_join(const uint64_t*, const int64_t*, const uint8_t*, int64_t,
-                       const uint64_t*, const int64_t*, const uint8_t*, int64_t,
-                       int64_t, int32_t, int32_t, int32_t*, int64_t*, int64_t*);
+int32_t ns_anchor_vote_chain(
+    const int64_t*, const int64_t*, const uint8_t*, int64_t,
+    int64_t, int32_t, int32_t, int32_t*, int64_t*, int64_t*,
+    int64_t*, int64_t*, int64_t, int64_t*);
+int32_t ns_stitch_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                        const int64_t*, const int64_t*, int64_t,
+                        int64_t, int32_t, int32_t,
+                        uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
 int64_t ns_accept_anchors(const uint8_t*, int64_t, int64_t, int64_t, int32_t,
                           int32_t, const uint64_t*, const int64_t*,
                           const uint8_t*, int64_t,
@@ -82,7 +87,11 @@ struct Contig {
     int64_t total_aligned = 0;
     int64_t pending = 0;
     bool closed = false;
-    std::unordered_map<int64_t, Anchors> anchors;
+    // contig-wide anchor map: minimizer hash -> (consensus pos * 2 + strand),
+    // the union over all accepted members (first occurrence wins). Replaces
+    // per-member tables so candidate pins span the whole consensus overlap,
+    // not just the BFS parent's extent.
+    std::unordered_map<uint64_t, int64_t> amap;
     std::unordered_set<int64_t> visited;
 
     int64_t hi() const { return lo + len; }
@@ -125,6 +134,9 @@ struct Placed {
     std::vector<uint8_t> tgt;     // consensus window snapshot (the DP for
                                   // batch k runs while batch k-1's applies
                                   // mutate the live consensus buffers)
+    std::vector<int64_t> aq, at;  // anchor pins, (clipped query, window)
+                                  // coords, sorted by aq — feed the
+                                  // stitched aligner
     int64_t qlo, qhi, wlo, whi, snap_lo, snap_hi, d0_win;
     // DP outputs
     std::vector<uint8_t> ops;
@@ -162,9 +174,13 @@ struct Engine {
     int64_t stat_not_claimed = 0, stat_aligned_ok = 0;
     double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
     int64_t n_dp = 0, dp_bases = 0;
+    int64_t n_stitch_bases = 0, n_full_dp_bases = 0;
     int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
 
     std::vector<uint8_t> scratch;       // forward-unpack buffer
+    std::vector<int64_t> pin_q, pin_t;  // place() anchor-chain scratch
+    std::vector<int64_t> m_pa, m_pb;    // place() match-list scratch
+    std::vector<uint8_t> m_rc;
 
     const uint8_t* unpack_fwd(int64_t rid) {
         const int64_t len = lengths[rid];
@@ -241,7 +257,12 @@ struct Engine {
         m.ops.assign((size_t)len, '=');
         st.members.push_back(std::move(m));
         st.total_aligned = len;
-        st.anchors[seed] = forward_minimizers(seed);  // prepared; tpos == pos
+        {   // seed the contig anchor map (tpos == read pos at creation)
+            const Anchors& fw = forward_minimizers(seed);
+            st.amap.reserve(fw.h.size() * 2);
+            for (size_t x = 0; x < fw.h.size(); ++x)
+                st.amap.emplace(fw.h[x], fw.p[x] * 2 + (int64_t)fw.f[x]);
+        }
         st.visited.insert(seed);
         comp_active[comp_of[seed]] += 1;
         auto res = states.emplace(cid, std::move(st));
@@ -290,6 +311,7 @@ struct Engine {
         if (it == states.end()) return;
         const int64_t comp = comp_of[st.members[0].rid];
         if (st.members.size() > 1) {
+            it->second.amap.clear();   // anchors die with the growth phase
             done.push_back(std::move(it->second));
         } else {
             claimed[st.members[0].rid] = 0;  // lone after all
@@ -303,21 +325,29 @@ struct Engine {
         auto sit = states.find(it.cid);
         if (sit == states.end() || sit->second.closed) return false;
         Contig& st = sit->second;
-        auto pit = st.anchors.find(it.parent);
-        if (pit == st.anchors.end()) return false;
-        const Anchors& pa = pit->second;
         const Anchors& rb = forward_minimizers(it.rid);
         if (rb.h.empty()) return false;
+        // probe the contig-wide anchor map with the candidate's minimizers
+        m_pa.clear(); m_pb.clear(); m_rc.clear();
+        for (size_t x = 0; x < rb.h.size(); ++x) {
+            auto hit = st.amap.find(rb.h[x]);
+            if (hit == st.amap.end()) continue;
+            m_pa.push_back(hit->second >> 1);
+            m_pb.push_back(rb.p[x]);
+            m_rc.push_back((uint8_t)((hit->second & 1) != (int64_t)rb.f[x]));
+        }
+        if (m_pa.empty()) return false;
         int32_t is_rc;
-        int64_t d0_abs, votes;
+        int64_t d0_abs, votes, n_pins = 0;
         const int64_t len_fwd = lengths[it.rid];
-        if (!ns_anchor_join(pa.h.data(), pa.p.data(), pa.f.data(),
-                            (int64_t)pa.h.size(),
-                            rb.h.data(), rb.p.data(), rb.f.data(),
-                            (int64_t)rb.h.size(),
-                            len_fwd, (int32_t)prm[P_SEED_K],
-                            (int32_t)prm[P_MAX_CHAIN],
-                            &is_rc, &d0_abs, &votes))
+        const int64_t cap = (int64_t)m_pa.size();
+        pin_q.resize((size_t)cap);
+        pin_t.resize((size_t)cap);
+        if (!ns_anchor_vote_chain(m_pa.data(), m_pb.data(), m_rc.data(), cap,
+                                  len_fwd, (int32_t)prm[P_SEED_K],
+                                  (int32_t)prm[P_MAX_CHAIN],
+                                  &is_rc, &d0_abs, &votes,
+                                  pin_q.data(), pin_t.data(), cap, &n_pins))
             return false;
         const int64_t mlen = len_fwd;
         // adaptive band: the anchor median pins the diagonal well, so a
@@ -340,6 +370,18 @@ struct Engine {
         out.d0_win = (d0_abs + qlo) - out.wlo;
         out.tgt.assign(st.cons() + (out.wlo - st.lo),
                        st.cons() + (out.whi - st.lo));
+        // pins translated to (clipped query, window) coords for stitching
+        out.aq.clear();
+        out.at.clear();
+        const int64_t mwin = out.qhi - out.qlo;
+        const int64_t nwin = out.whi - out.wlo;
+        for (int64_t x = 0; x < n_pins; ++x) {
+            const int64_t qw = pin_q[(size_t)x] - qlo;
+            const int64_t tw = pin_t[(size_t)x] - out.wlo;
+            if (qw < 0 || qw >= mwin || tw < 0 || tw >= nwin) continue;
+            out.aq.push_back(qw);
+            out.at.push_back(tw);
+        }
         return true;
     }
 
@@ -369,7 +411,8 @@ struct Engine {
         m.ops = ops;
         st.members.push_back(std::move(m));
         st.total_aligned += mlen;
-        // anchor table through the alignment (sorted order preserved);
+        // map the member's minimizers through its alignment and merge
+        // them into the contig anchor map (first occurrence wins);
         // forward_minimizers re-creates the cache entry if a reordering
         // ever evicted it (place() normally populates it first)
         const Anchors& fw = forward_minimizers(p.item.rid);
@@ -382,10 +425,9 @@ struct Engine {
             (int32_t)prm[P_SEED_K],
             fw.h.data(), fw.p.data(), fw.f.data(), (int64_t)fw.h.size(),
             out.h.data(), out.p.data(), out.f.data());
-        out.h.resize((size_t)n);
-        out.p.resize((size_t)n);
-        out.f.resize((size_t)n);
-        st.anchors[p.item.rid] = std::move(out);
+        for (int64_t x = 0; x < n; ++x)
+            st.amap.emplace(out.h[(size_t)x],
+                            out.p[(size_t)x] * 2 + (int64_t)out.f[(size_t)x]);
     }
 
     void apply(Placed& p) {
@@ -506,7 +548,9 @@ struct Engine {
         if (bs.batch.empty()) return;
         const double t0 = now_s();
         std::vector<Placed>& batch = bs.batch;
-        #pragma omp parallel for schedule(dynamic, 2)
+        int64_t stitch_bases = 0, full_dp_bases = 0;
+        #pragma omp parallel for schedule(dynamic, 2) \
+            reduction(+:stitch_bases, full_dp_bases)
         for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
             Placed& p = batch[(size_t)b];
             const int64_t m = p.qhi - p.qlo;
@@ -514,15 +558,34 @@ struct Engine {
             p.ops.resize((size_t)ops_cap);
             const int32_t max_cost =
                 (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
-            p.cost = ns_banded_align(
-                p.tgt.data(), (int64_t)p.tgt.size(),
-                p.codes.data() + p.qlo, m,
-                p.d0_win, (int32_t)p.band, max_cost,
-                p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+            // stitched first: verify anchor-to-anchor runs, DP only the
+            // gaps (~5% of the bases). -4 = chain unusable -> full DP;
+            // -1 = reject -> apply() escalates to a full-band DP retry,
+            // so the exact-DP admission decision is preserved.
+            p.cost = -4;
+            if (!p.item.full_band && (int64_t)p.aq.size() >= 2) {
+                p.cost = ns_stitch_align(
+                    p.tgt.data(), (int64_t)p.tgt.size(),
+                    p.codes.data() + p.qlo, m,
+                    p.aq.data(), p.at.data(), (int64_t)p.aq.size(),
+                    p.d0_win, (int32_t)p.band, max_cost,
+                    p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                stitch_bases += m;
+            }
+            if (p.cost == -4) {
+                p.cost = ns_banded_align(
+                    p.tgt.data(), (int64_t)p.tgt.size(),
+                    p.codes.data() + p.qlo, m,
+                    p.d0_win, (int32_t)p.band, max_cost,
+                    p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                full_dp_bases += m;
+            }
             if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
         }
         t_dp += now_s() - t0;
         n_dp += (int64_t)batch.size();
+        n_stitch_bases += stitch_bases;
+        n_full_dp_bases += full_dp_bases;
         for (const Placed& p : batch) dp_bases += p.qhi - p.qlo;
     }
 
@@ -636,11 +699,13 @@ void* ns_engine_run(
     e->run();
     if (std::getenv("NS_ENGINE_DEBUG")) {
         std::fprintf(stderr,
-                     "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb) "
-                     "apply %.1fs | retry %lld reject %lld claimed %lld "
-                     "placefail %lld\n",
+                     "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb: "
+                     "stitch %.1f full %.1f) apply %.1fs | retry %lld "
+                     "reject %lld claimed %lld placefail %lld\n",
                      e->t_place, e->t_dp, (long long)e->n_dp,
-                     e->dp_bases / 1e6, e->t_apply, (long long)e->n_retry,
+                     e->dp_bases / 1e6, e->n_stitch_bases / 1e6,
+                     e->n_full_dp_bases / 1e6,
+                     e->t_apply, (long long)e->n_retry,
                      (long long)e->n_reject, (long long)e->n_claimed_skip,
                      (long long)e->n_place_fail);
     }
