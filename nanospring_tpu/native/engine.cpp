@@ -177,10 +177,11 @@ struct Engine {
     int64_t n_stitch_bases = 0, n_full_dp_bases = 0;
     int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
 
-    std::vector<uint8_t> scratch;       // forward-unpack buffer
-    std::vector<int64_t> pin_q, pin_t;  // place() anchor-chain scratch
-    std::vector<int64_t> m_pa, m_pb;    // place() match-list scratch
-    std::vector<uint8_t> m_rc;
+    // per-thread scratch (collect's place() fans out over OpenMP)
+    static thread_local std::vector<uint8_t> scratch;   // forward unpack
+    static thread_local std::vector<int64_t> pin_q, pin_t;  // anchor chain
+    static thread_local std::vector<int64_t> m_pa, m_pb;    // match list
+    static thread_local std::vector<uint8_t> m_rc;
 
     const uint8_t* unpack_fwd(int64_t rid) {
         const int64_t len = lengths[rid];
@@ -205,9 +206,7 @@ struct Engine {
         }
     }
 
-    const Anchors& forward_minimizers(int64_t rid) {
-        auto it = mz_cache.find(rid);
-        if (it != mz_cache.end()) return it->second;
+    Anchors build_minimizers(int64_t rid) {
         const int64_t len = lengths[rid];
         Anchors a;
         const int64_t cap = std::max<int64_t>(1, len - prm[P_SEED_K] + 1);
@@ -222,7 +221,13 @@ struct Engine {
         a.h.resize((size_t)n);
         a.p.resize((size_t)n);
         a.f.resize((size_t)n);
-        return mz_cache.emplace(rid, std::move(a)).first->second;
+        return a;
+    }
+
+    const Anchors& forward_minimizers(int64_t rid) {
+        auto it = mz_cache.find(rid);
+        if (it != mz_cache.end()) return it->second;
+        return mz_cache.emplace(rid, build_minimizers(rid)).first->second;
     }
 
     void enqueue_children(Contig& st, int64_t rid) {
@@ -508,36 +513,79 @@ struct Engine {
         // splice race and retry with a full re-alignment (the dominant DP
         // waste: ~60% of pairs were retries before this), so defer them
         // un-aligned; they re-place against the fresh end next batch.
+        //
+        // Two phases per chunk: place() fans out over OpenMP (no shared
+        // state is mutated during collect), then admission runs serially
+        // in pop order — output is identical to the sequential loop.
         std::unordered_set<int64_t> side_taken;
         double t0 = now_s();
+        std::vector<Item> picked;
+        std::vector<Placed> placed;
+        std::vector<uint8_t> okv;
         while (!queue.empty() && (int64_t)batch.size() < prm[P_ALIGN_BATCH]) {
-            Item it = queue.back();
-            queue.pop_back();
-            if (claimed[it.rid]) {
-                consumed.push_back(it);
-                continue;
+            picked.clear();
+            const int64_t want =
+                2 * prm[P_ALIGN_BATCH] - (int64_t)batch.size();
+            while (!queue.empty() && (int64_t)picked.size() < want) {
+                Item it = queue.back();
+                queue.pop_back();
+                if (claimed[it.rid]) {
+                    consumed.push_back(it);
+                    continue;
+                }
+                picked.push_back(it);
             }
-            Placed pl;
-            if (!place(it, pl)) {
+            if (picked.empty()) break;
+            // candidate minimizer tables not yet cached (dedup: two
+            // contigs can queue the same rid)
+            std::vector<int64_t> need;
+            {
+                std::unordered_set<int64_t> seen;
+                for (const Item& it : picked)
+                    if (!mz_cache.count(it.rid) && seen.insert(it.rid).second)
+                        need.push_back(it.rid);
+            }
+            std::vector<Anchors> built((size_t)need.size());
+            #pragma omp parallel for schedule(dynamic, 8)
+            for (int64_t x = 0; x < (int64_t)need.size(); ++x)
+                built[(size_t)x] = build_minimizers(need[(size_t)x]);
+            for (size_t x = 0; x < need.size(); ++x)
+                mz_cache.emplace(need[x], std::move(built[x]));
+            placed.assign(picked.size(), Placed());
+            okv.assign(picked.size(), 0);
+            #pragma omp parallel for schedule(dynamic, 4)
+            for (int64_t x = 0; x < (int64_t)picked.size(); ++x)
+                okv[(size_t)x] =
+                    place(picked[(size_t)x], placed[(size_t)x]) ? 1 : 0;
+            for (size_t x = 0; x < picked.size(); ++x) {
+                const Item& it = picked[x];
+                if ((int64_t)batch.size() >= prm[P_ALIGN_BATCH]) {
+                    // chunk overshoot: back on the queue, untouched
+                    queue.push_back(it);
+                    continue;
+                }
+                if (!okv[x]) {
+                    consumed.push_back(it);
+                    stat_not_claimed += 1;
+                    n_place_fail += 1;
+                    continue;
+                }
+                Placed& pl = placed[x];
+                const bool headext = pl.qlo > 0;
+                const bool tailext = pl.qhi < (int64_t)pl.codes.size();
+                const bool blocked =
+                    (headext && side_taken.count(it.cid * 2)) ||
+                    (tailext && side_taken.count(it.cid * 2 + 1));
+                if (blocked) {
+                    deferred.push_back(it);
+                    continue;
+                }
+                if (headext) side_taken.insert(it.cid * 2);
+                if (tailext) side_taken.insert(it.cid * 2 + 1);
                 consumed.push_back(it);
                 stat_not_claimed += 1;
-                n_place_fail += 1;
-                continue;
+                batch.push_back(std::move(pl));
             }
-            const bool headext = pl.qlo > 0;
-            const bool tailext = pl.qhi < (int64_t)pl.codes.size();
-            const bool blocked =
-                (headext && side_taken.count(it.cid * 2)) ||
-                (tailext && side_taken.count(it.cid * 2 + 1));
-            if (blocked) {
-                deferred.push_back(it);
-                continue;
-            }
-            if (headext) side_taken.insert(it.cid * 2);
-            if (tailext) side_taken.insert(it.cid * 2 + 1);
-            consumed.push_back(it);
-            stat_not_claimed += 1;
-            batch.push_back(std::move(pl));
         }
         t_place += now_s() - t0;
     }
@@ -655,6 +703,13 @@ struct Engine {
         }
     }
 };
+
+thread_local std::vector<uint8_t> Engine::scratch;
+thread_local std::vector<int64_t> Engine::pin_q;
+thread_local std::vector<int64_t> Engine::pin_t;
+thread_local std::vector<int64_t> Engine::m_pa;
+thread_local std::vector<int64_t> Engine::m_pb;
+thread_local std::vector<uint8_t> Engine::m_rc;
 
 }  // namespace
 

@@ -302,7 +302,10 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
                     last_c = x;
                 }
             if (first_c < 0) continue;  // no consuming ops: unchanged
-            std::vector<uint8_t> matched(L + 1, 0);
+            // matched inserted-gap columns, ascending (tape order); a
+            // per-member L-sized bitmap here cost gigabytes of memset on
+            // big contigs
+            std::vector<int64_t> matched_gaps;
             std::vector<uint8_t> flip(n, 0);
             int64_t ts_rel = -1, te_rel = -1;
             {
@@ -320,7 +323,7 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
                             insmask[tcol] &&
                             m.codes[qpos] == gap_newbase[tcol]) {
                             flip[x] = 1;
-                            matched[tcol] = 1;
+                            matched_gaps.push_back(tcol);
                         }
                         prev_was_i = true;
                         prev_gap = tcol;
@@ -337,12 +340,17 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
             out.reserve((size_t)n + (size_t)nins);
             {
                 int64_t col = m.tstart;
+                size_t mg = 0;
+                const size_t mg_end = matched_gaps.size();
                 for (int64_t x = 0; x < n; ++x) {
                     const uint8_t o = m.ops[x];
                     if (o != 'i') {
+                        while (mg < mg_end && matched_gaps[mg] < col) ++mg;
+                        const bool is_matched =
+                            mg < mg_end && matched_gaps[mg] == col;
                         if (col > ts_rel && col < te_rel &&
                             col >= 0 && col <= L && insmask[col] &&
-                            !matched[col])
+                            !is_matched)
                             out.push_back('d');
                         out.push_back(o);
                         ++col;
