@@ -68,9 +68,12 @@ class CompressConfig:
     work_dir: str | None = None        # temp dir root (None -> system tmp)
 
     # --- codec stage (reference: src/Compressor.cpp:126-130) ---
-    base_codec: str = "lzma"           # .base stream codec (ref: fast-lzma2)
-    default_codec: str = "nsbwt"       # other streams: from-scratch C++ BWT
-                                       # codec (ref: libbsc, BWT-class)
+    # All streams default to the from-scratch C++ BWT codec (nsbwt): on the
+    # bench streams it beats bz2-9 on every stream it owns and lands within
+    # 0.7% of lzma preset-6 on .base at ~6x the speed (docs/CODECS.md).
+    # The reference uses libbsc for 6 streams and fast-lzma2 for .base.
+    base_codec: str = "nsbwt"          # .base/.lone codec ("lzma" optional)
+    default_codec: str = "nsbwt"       # remaining streams
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)

@@ -41,9 +41,26 @@ inline bool want_inner(size_t n_members) {
 
 namespace {
 
+// first index >= x whose byte is not '=' (tapes are ~97% '=', so every
+// pass that walks them skips runs in 8-byte blocks)
+inline int64_t skip_eq(const uint8_t* p, int64_t x, int64_t n) {
+    constexpr uint64_t EQ8 = 0x3D3D3D3D3D3D3D3DULL;  // '=' x8
+    while (x + 8 <= n) {
+        uint64_t v;
+        std::memcpy(&v, p + x, 8);
+        const uint64_t diff = v ^ EQ8;
+        if (diff) return x + (int64_t)(__builtin_ctzll(diff) >> 3);
+        x += 8;
+    }
+    while (x < n && p[x] == '=') ++x;
+    return x;
+}
+
 struct Member {
     std::vector<uint8_t> ops;
     int64_t tstart;                 // relative to contig cons[0]
+    int64_t tend = 0;               // tstart + consumed target (set by the
+                                    // subs vote scan)
     const uint8_t* codes;           // oriented query codes
 };
 
@@ -93,64 +110,136 @@ void polish_one(int64_t c,
     }
 }
 
-// one pass of majority-vote substitution polish; mutates cons + member ops
+// one pass of majority-vote substitution polish; mutates cons + member ops.
+// Votes: '=' ops vote the current consensus base by definition (tapes are
+// rewritten against the live consensus, so the invariant holds), so '='
+// runs become a coverage difference array and only the sparse 's' ops are
+// voted individually. The rewrite touches only changed columns.
 void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
     if (ms.size() < 3) return;
     const int64_t L = (int64_t)cons.size();
     if (L == 0) return;
-    std::vector<int32_t> votes((size_t)L * 4, 0);
+    std::vector<int64_t> eqd((size_t)L + 2, 0);     // '='-coverage diff
+    std::vector<int32_t> votes((size_t)L * 4, 0);   // 's' votes by code
+
+    auto scan_member = [&](Member& m, int64_t* eqd_l, int32_t* votes_l) {
+        const uint8_t* ops = m.ops.data();
+        const int64_t n = (int64_t)m.ops.size();
+        int64_t x = 0, tcol = m.tstart, qpos = 0;
+        while (x < n) {
+            const int64_t x2 = skip_eq(ops, x, n);
+            const int64_t run = x2 - x;
+            if (run) {
+                const int64_t lo = tcol > 0 ? tcol : 0;
+                const int64_t hi = tcol + run < L ? tcol + run : L;
+                if (hi > lo) { ++eqd_l[lo]; --eqd_l[hi]; }
+                tcol += run;
+                qpos += run;
+                x = x2;
+                if (x >= n) break;
+            }
+            const uint8_t o = ops[x];
+            if (o == 's') {
+                if (tcol >= 0 && tcol < L)
+                    ++votes_l[tcol * 4 + (m.codes[qpos] & 3)];
+                ++tcol;
+                ++qpos;
+            } else if (o == 'd') {
+                ++tcol;
+            } else {  // 'i'
+                ++qpos;
+            }
+            ++x;
+        }
+        m.tend = tcol;
+    };
+
     if (want_inner(ms.size())) {
         #pragma omp parallel
         {
-            std::vector<int32_t> local((size_t)L * 4, 0);
+            std::vector<int64_t> eql((size_t)L + 2, 0);
+            std::vector<int32_t> vl((size_t)L * 4, 0);
             #pragma omp for schedule(dynamic, 64) nowait
-            for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
-                const Member& m = ms[(size_t)mi];
-                int64_t tcol = m.tstart, qpos = 0;
-                for (uint8_t o : m.ops) {
-                    if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
-                        ++local[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
-                    if (o != 'i') ++tcol;
-                    if (o != 'd') ++qpos;
-                }
-            }
+            for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi)
+                scan_member(ms[(size_t)mi], eql.data(), vl.data());
             #pragma omp critical
-            for (size_t i = 0; i < votes.size(); ++i) votes[i] += local[i];
+            {
+                for (size_t i = 0; i < eqd.size(); ++i) eqd[i] += eql[i];
+                for (size_t i = 0; i < votes.size(); ++i) votes[i] += vl[i];
+            }
         }
     } else {
-        for (const Member& m : ms) {
-            int64_t tcol = m.tstart, qpos = 0;
-            for (uint8_t o : m.ops) {
-                if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
-                    ++votes[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
-                if (o != 'i') ++tcol;
-                if (o != 'd') ++qpos;
-            }
+        for (Member& m : ms) scan_member(m, eqd.data(), votes.data());
+    }
+    // eq coverage -> votes for the current consensus base
+    {
+        int64_t acc = 0;
+        for (int64_t c = 0; c < L; ++c) {
+            acc += eqd[(size_t)c];
+            votes[(size_t)c * 4 + cons[(size_t)c]] += (int32_t)acc;
         }
     }
-    std::vector<uint8_t> nw(cons);
-    bool changed = false;
+    // changed columns
+    std::vector<int64_t> ch;
+    std::vector<uint8_t> newbase;
     for (int64_t c = 0; c < L; ++c) {
         const int32_t* v = votes.data() + (size_t)c * 4;
         int best = 0;
         for (int b = 1; b < 4; ++b)
             if (v[b] > v[best]) best = b;     // tie keeps lowest index
-        if (v[best] > v[cons[c]] && (uint8_t)best != cons[c]) {
-            nw[c] = (uint8_t)best;
-            changed = true;
+        if (v[best] > v[cons[(size_t)c]] && (uint8_t)best != cons[(size_t)c]) {
+            ch.push_back(c);
+            newbase.push_back((uint8_t)best);
         }
     }
-    if (!changed) return;
-    cons.swap(nw);
+    if (ch.empty()) return;
+    std::vector<uint8_t> oldc(ch.size());
+    for (size_t i = 0; i < ch.size(); ++i) {
+        oldc[i] = cons[(size_t)ch[i]];
+        cons[(size_t)ch[i]] = newbase[i];
+    }
+    // targeted rewrite: only members covering a changed column, and only
+    // the ops at changed columns ('=' at c -> 's'; 's' at c with code ==
+    // new base -> '='; 'd'/'i' untouched — identical to the full rewrite)
     #pragma omp parallel for schedule(dynamic, 64) if (want_inner(ms.size()))
     for (int64_t mi = 0; mi < (int64_t)ms.size(); ++mi) {
         Member& m = ms[(size_t)mi];
-        int64_t tcol = m.tstart, qpos = 0;
-        for (uint8_t& o : m.ops) {
-            if (o != 'i' && o != 'd' && tcol >= 0 && tcol < L)
-                o = (m.codes[qpos] == cons[tcol]) ? '=' : 's';
-            if (o != 'i') ++tcol;
-            if (o != 'd') ++qpos;
+        // first changed column >= tstart
+        size_t ci = (size_t)(std::lower_bound(ch.begin(), ch.end(), m.tstart)
+                             - ch.begin());
+        if (ci >= ch.size() || ch[ci] >= m.tend) continue;
+        uint8_t* ops = m.ops.data();
+        const int64_t n = (int64_t)m.ops.size();
+        int64_t x = 0, tcol = m.tstart, qpos = 0;
+        while (x < n && ci < ch.size()) {
+            const int64_t x2 = skip_eq(ops, x, n);
+            const int64_t run = x2 - x;
+            if (run) {
+                // flip '='s at changed columns inside this run
+                while (ci < ch.size() && ch[ci] < tcol + run) {
+                    if (ch[ci] >= tcol) ops[x + (ch[ci] - tcol)] = 's';
+                    ++ci;
+                }
+                tcol += run;
+                qpos += run;
+                x = x2;
+                if (x >= n) break;
+            }
+            const uint8_t o = ops[x];
+            if (o == 's') {
+                if (ci < ch.size() && tcol == ch[ci]) {
+                    if (m.codes[qpos] == cons[(size_t)tcol]) ops[x] = '=';
+                    ++ci;
+                }
+                ++tcol;
+                ++qpos;
+            } else if (o == 'd') {
+                if (ci < ch.size() && tcol == ch[ci]) ++ci;
+                ++tcol;
+            } else {
+                ++qpos;
+            }
+            ++x;
         }
     }
 }

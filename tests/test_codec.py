@@ -43,3 +43,24 @@ def test_nsbwt_chunked_stream_api():
     b = rng.choice(list(b"ACGT"), size=1 << 16).astype(np.uint8).tobytes()
     c = be.compress("nsbwt", b)
     assert be.decompress("nsbwt", c) == b
+
+
+def test_nsbwt_beats_bz2_on_bench_streams():
+    """nsbwt must hold the libbsc-stand-in bar on realistic stream mixes
+    (VERDICT round-1 #7): >= bz2-9 on genome/type/base shaped data, and a
+    wash on the near-entropy pos stream (docs/CODECS.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # genome-shaped: 2-bit DNA as ASCII codes 0..3
+    genome = rng.integers(0, 4, 1 << 19).astype(np.uint8).tobytes()
+    # type-shaped: mostly 's' with i/d sprinkles and newline separators
+    t = rng.choice(np.frombuffer(b"sid\n", np.uint8),
+                   p=[0.62, 0.18, 0.18, 0.02], size=1 << 19)
+    types = t.astype(np.uint8).tobytes()
+    # base-shaped: random 0..3 codes (substituted/inserted bases)
+    bases = rng.integers(0, 4, 1 << 18).astype(np.uint8).tobytes()
+    for name, data in (("genome", genome), ("type", types), ("base", bases)):
+        ns = len(be.compress("nsbwt", data))
+        bz = len(bz2.compress(data, 9))
+        assert ns <= bz * 1.02, (name, ns, bz)
