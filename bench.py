@@ -96,8 +96,43 @@ def main() -> int:
         "compress_s": round(compress_s, 1),
         "decompress_s": round(decompress_s, 1),
         "lossless": True,
+        "regimes": _regime_ratios(work),
     }))
     return 0
+
+
+def _regime_ratios(work: str) -> dict:
+    """Ratio robustness at the reference's hard regimes (single quick runs,
+    ratio-only): hs1-like old-basecaller ~9.6% error (reference 5.44x,
+    logs/2022/hs1.log) and new_zymo-like 97-base reads (reference 3.88x,
+    logs/2022/new_zymo.log)."""
+    import os as _os
+
+    from nanospring_tpu import compressor, decompressor
+    from nanospring_tpu.utils import synth
+
+    out = {}
+    regimes = {
+        "high_error": dict(genome_len=400_000, num_reads=2_500,
+                           mean_len=5_000, p_ins=0.03, p_del=0.03,
+                           p_sub=0.036),
+        "short_reads": dict(genome_len=200_000, num_reads=25_000,
+                            mean_len=97),
+    }
+    for name, kw in regimes.items():
+        try:
+            fq = _os.path.join(work, f"{name}.fastq")
+            reads = synth.make_dataset(fq, seed=77, p_n_base=0.0005, **kw)
+            arc = _os.path.join(work, f"{name}.nstpu")
+            res = compressor.compress_file(fq, arc, report=False)
+            dec = _os.path.join(work, f"{name}.reads")
+            decompressor.decompress_file(arc, dec, report=False)
+            with open(dec, "rb") as f:
+                ok = f.read().splitlines() == reads
+            out[name] = {"ratio": round(res["ratio"], 2), "lossless": ok}
+        except Exception as e:  # pragma: no cover - bench resilience
+            out[name] = {"error": str(e)[:120]}
+    return out
 
 
 if __name__ == "__main__":

@@ -51,6 +51,16 @@ class CompressConfig:
 
     # --- pipeline selection ---
     disable_assembly: bool = False     # True: every read stored lone (testing)
+    short_read_lone_threshold: int = 256  # avg read length below which
+                                       # assembly is skipped: per-member
+                                       # stream overhead (~15-20 B) rivals a
+                                       # packed short read, while the BWT
+                                       # codec already captures the cross-
+                                       # read coverage redundancy in the
+                                       # lone stream (measured on the
+                                       # new_zymo-like regime: lone-only
+                                       # 4.8x vs assembled 4.0x; reference
+                                       # gets 3.88x, logs/2022/new_zymo.log)
     checks: bool = False               # validate every member's edit script
                                        # against the live consensus (the
                                        # reference's -DCHECKS replay equality,
@@ -77,6 +87,20 @@ class CompressConfig:
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)
+
+    def effective_min_overlap(self, avg_len: float) -> int:
+        """min_overlap scaled down for short-read datasets (a 97-base
+        new_zymo-style read can never reach the 150-base default; the
+        reference accepts any alignment with >= 1 SAME base,
+        src/ConsensusGraph.cpp:391-397)."""
+        return min(self.min_overlap, max(24, int(avg_len * 0.6)))
+
+    def effective_seed_window(self, avg_len: float) -> int:
+        """Minimizer window scaled down for short reads so every read
+        still carries a usable anchor set (the reference scales its
+        consensus window step by avgReadLen the same way,
+        src/Consensus.cpp:54)."""
+        return min(self.seed_window, max(8, int(avg_len // 8)))
 
     def resolved_workers(self) -> int:
         """Contig-growing worker processes (owner-computes over components).

@@ -1037,25 +1037,48 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     """Sketch + hash-join + components + repetitive screen (the shared,
     device-side half of the pipeline)."""
     N = store.num_reads
-    sketches = compute_all_sketches(store, cfg, report)
 
-    # one batched query: all overlap-candidate pairs
-    nat = candidates.all_pairs_native(sketches, cfg.overlap_sketch_threshold)
-    if nat is not None:
-        pq, pr, _cnt = nat
-    else:
+    def _sketch_and_join(c: CompressConfig):
+        sketches = compute_all_sketches(store, c, report)
+        nat = candidates.all_pairs_native(sketches, c.overlap_sketch_threshold)
+        if nat is not None:
+            q_, r_, _cnt = nat
+            return q_, r_
         index = candidates.SketchIndex(sketches)
         pairs_q: list[np.ndarray] = []
         pairs_r: list[np.ndarray] = []
-        B = cfg.sketch_batch_reads
+        B = c.sketch_batch_reads
         for i in range(0, N, B):
             q, r, _hits = index.query(sketches[i: i + B],
-                                      cfg.overlap_sketch_threshold)
+                                      c.overlap_sketch_threshold)
             keep = (q + i) != r
             pairs_q.append(q[keep] + i)
             pairs_r.append(r[keep])
-        pq = np.concatenate(pairs_q) if pairs_q else np.zeros(0, np.int64)
-        pr = np.concatenate(pairs_r) if pairs_r else np.zeros(0, np.int64)
+        q_ = np.concatenate(pairs_q) if pairs_q else np.zeros(0, np.int64)
+        r_ = np.concatenate(pairs_r) if pairs_r else np.zeros(0, np.int64)
+        return q_, r_
+
+    pq, pr = _sketch_and_join(cfg)
+    # Adaptive recovery for high-error data (hs1-like old basecaller):
+    # k=23 minhash sketches barely collide at ~10% error, so a sparse
+    # candidate graph (< ~1.5 neighbors/read; healthy data sits at 30+)
+    # triggers one re-sketch with a shorter k-mer and a lower slot
+    # threshold. The reference has no such fallback — its hs1 ratio decays
+    # with the same fixed parameters (logs/2022/hs1.log).
+    if N and len(pq) * 2 < 3 * N and cfg.kmer_size > 17:
+        import dataclasses as _dc
+
+        cfg2 = _dc.replace(
+            cfg, kmer_size=17,
+            overlap_sketch_threshold=max(3, cfg.overlap_sketch_threshold // 2))
+        pq2, pr2 = _sketch_and_join(cfg2)
+        if len(pq2) > len(pq):
+            if report:
+                print(f"[nstpu] sparse candidate graph "
+                      f"({len(pq)} pairs / {N} reads): re-sketched with "
+                      f"k=17 thr={cfg2.overlap_sketch_threshold} -> "
+                      f"{len(pq2)} pairs")
+            pq, pr = pq2, pr2
     stats.minhash_hits += len(pq)
 
     # adjacency CSR over both directions
@@ -1305,6 +1328,13 @@ def build_contigs(
     store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
 ) -> tuple[list[ContigBatch], np.ndarray]:
     N = store.num_reads
+    # dataset-scaled knobs: short-read datasets need a denser anchor set
+    # and a reachable overlap floor (config.py effective_*)
+    cfg = dataclasses.replace(
+        cfg,
+        seed_window=cfg.effective_seed_window(store.avg_len),
+        min_overlap=cfg.effective_min_overlap(store.avg_len),
+    )
     graph = _build_candidate_graph(store, cfg, stats, report)
     boundaries = graph["boundaries"]
     comp_sizes = np.diff(boundaries)

@@ -21,7 +21,8 @@ def run(
     store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
 ) -> tuple[list[ContigBatch], np.ndarray]:
     """Returns (contig batches, lone read ids)."""
-    if getattr(cfg, "disable_assembly", False) or store.num_reads == 0:
+    if (getattr(cfg, "disable_assembly", False) or store.num_reads == 0
+            or store.avg_len < cfg.short_read_lone_threshold):
         return [], np.arange(store.num_reads, dtype=np.int64)
     from . import contigs
 

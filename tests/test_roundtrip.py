@@ -137,3 +137,26 @@ def test_checks_mode_invariants(tmp_path):
     res = compressor.compress_file(fq, str(tmp_path / "o.nstpu"), cfg,
                                    report=False)
     assert res["ratio"] > 1.0
+
+
+def test_high_error_regime(tmp_path):
+    """hs1-like ~9.6% error: the adaptive re-sketch (k=17, halved slot
+    threshold) must keep assembly alive (reference ratio 5.44x at this
+    regime, logs/2022/hs1.log)."""
+    rng = np.random.default_rng(21)
+    genome = synth.random_genome(120_000, rng)
+    reads = synth.make_reads(genome, 800, 3_000, rng,
+                             p_ins=0.03, p_del=0.03, p_sub=0.036)
+    res = _roundtrip(tmp_path, reads, cfg=CompressConfig(pipeline_workers=1))
+    assert res["funnel"].contigs > 0, "assembly collapsed at high error"
+    assert res["ratio"] > 4.0, res["ratio"]
+
+
+def test_short_read_regime(tmp_path):
+    """new_zymo-like 97-base reads route to the lone path, where the BWT
+    codec captures coverage redundancy (reference 3.88x)."""
+    rng = np.random.default_rng(22)
+    genome = synth.random_genome(60_000, rng)
+    reads = synth.make_reads(genome, 8_000, 97, rng)
+    res = _roundtrip(tmp_path, reads)
+    assert res["ratio"] > 3.9, res["ratio"]
