@@ -20,6 +20,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import json
 import struct
+import zlib
 
 import numpy as np
 
@@ -45,6 +46,15 @@ def write_archive(
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     meta["codecs"] = codec_map
+    # per-stream CRC32 of the raw bytes: corruption surfaces as a named
+    # error instead of silent garbage (the role of libbsc's per-block
+    # adler32 in the reference, libbsc/adler32/)
+    def _crc(data) -> int:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            return zlib.crc32(data)
+        return zlib.crc32(memoryview(np.ascontiguousarray(data)))
+
+    meta["crc32"] = {n: _crc(stream_set.get(n)) for n in st.STREAM_NAMES}
     sizes: dict[str, int] = {}
 
     # flatten (stream, chunk) jobs so one pool parallelizes both across
@@ -127,7 +137,11 @@ def read_archive(
     codec_map = meta["codecs"]
 
     # flatten (stream, chunk) decode jobs across the pool (see write side)
-    chunked = {n: backends.split_payloads(d) for n, d in coded.items()}
+    try:
+        chunked = {n: backends.split_payloads(d) for n, d in coded.items()}
+    except Exception as e:
+        raise ValueError(f"archive framing failed to parse — the archive "
+                         f"is corrupt ({e})") from e
     jobs = [(n, i, p) for n, ps in chunked.items() for i, p in enumerate(ps)]
     jobs.sort(key=lambda t: -len(t[2]))
 
@@ -135,14 +149,26 @@ def read_archive(
         n, i, p = t
         return n, i, backends.decompress_chunk(codec_map[n], p)
 
-    results = list(pool.map(_job, jobs)) if pool is not None else [
-        _job(t) for t in jobs
-    ]
+    try:
+        results = list(pool.map(_job, jobs)) if pool is not None else [
+            _job(t) for t in jobs
+        ]
+    except Exception as e:
+        # framing/codec errors from flipped bits inside a payload surface
+        # before the CRC can run — name them for what they are
+        raise ValueError(f"archive payload failed to decode — the archive "
+                         f"is corrupt ({e})") from e
     out = {}
+    crcs = meta.get("crc32", {})
     for n, ps in chunked.items():
         parts = [None] * len(ps)
         for rn, ri, p in results:
             if rn == n:
                 parts[ri] = p
-        out[n] = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        raw = b"".join(parts)
+        if n in crcs and zlib.crc32(raw) != crcs[n]:
+            raise ValueError(
+                f"archive stream '{n}' failed its CRC32 check: "
+                f"the archive is corrupt")
+        out[n] = np.frombuffer(raw, dtype=np.uint8)
     return meta, out

@@ -160,3 +160,21 @@ def test_short_read_regime(tmp_path):
     reads = synth.make_reads(genome, 8_000, 97, rng)
     res = _roundtrip(tmp_path, reads)
     assert res["ratio"] > 3.9, res["ratio"]
+
+
+def test_corrupt_archive_detected(tmp_path, lone_cfg):
+    """Per-stream CRC32 must turn corruption into a named error (the
+    reference's libbsc adler32 role)."""
+    rng = np.random.default_rng(23)
+    genome = synth.random_genome(8_000, rng)
+    reads = synth.make_reads(genome, 20, 800, rng)
+    fq = str(tmp_path / "in.fastq")
+    synth.write_fastq(fq, reads, gz=False)
+    arc = str(tmp_path / "o.nstpu")
+    compress_file(fq, arc, lone_cfg, report=False)
+    blob = bytearray(open(arc, "rb").read())
+    blob[-20] ^= 0xFF  # flip a payload byte near the end
+    open(arc, "wb").write(bytes(blob))
+    with pytest.raises(Exception) as ei:
+        decompress_file(arc, str(tmp_path / "o.reads"), report=False)
+    assert "CRC32" in str(ei.value) or "corrupt" in str(ei.value).lower()
