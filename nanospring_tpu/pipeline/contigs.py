@@ -1357,8 +1357,17 @@ def build_contigs(
         import sys as _sys
         import tempfile as _tf
 
-        store_parts = (store.packed, store.offsets, store.lengths,
-                       store.exc_read, store.exc_pos, store.exc_byte)
+        # low-mem stores ship the spill-file path, not the packed buffer:
+        # pickling the memmap would materialize the whole dataset per
+        # worker (the reference's disk-backed mode exists for exactly the
+        # inputs where that matters, src/ReadData.cpp:156-235)
+        if store.temp_path:
+            store_parts = ("lowmem", store.temp_path, store.offsets,
+                           store.lengths, store.exc_read, store.exc_pos,
+                           store.exc_byte)
+        else:
+            store_parts = ("mem", store.packed, store.offsets, store.lengths,
+                           store.exc_read, store.exc_pos, store.exc_byte)
         omp = max(1, (cfg.resolved_threads() or 2) // len(bins))
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))

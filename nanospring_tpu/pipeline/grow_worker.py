@@ -25,7 +25,16 @@ def main(in_path: str, out_path: str) -> int:
     from ..utils.observe import FunnelStats
     from . import contigs
 
-    store = ReadStore(*store_parts)
+    kind = store_parts[0]
+    if kind == "lowmem":
+        # re-map the parent's spill file read-only; the parent owns its
+        # lifetime (ReadStore.temp_path stays unset here)
+        import numpy as np
+
+        buf = np.memmap(store_parts[1], dtype=np.uint8, mode="r")
+        store = ReadStore(buf, *store_parts[2:])
+    else:
+        store = ReadStore(*store_parts[1:])
     stats = FunnelStats()
     group = contigs._grow_components(store, cfg, stats, graph, subset)
     with open(out_path, "wb") as f:

@@ -178,3 +178,19 @@ def test_corrupt_archive_detected(tmp_path, lone_cfg):
     with pytest.raises(Exception) as ei:
         decompress_file(arc, str(tmp_path / "o.reads"), report=False)
     assert "CRC32" in str(ei.value) or "corrupt" in str(ei.value).lower()
+
+
+def test_low_mem_multi_worker(tmp_path):
+    """Worker fan-out with a low-mem store ships the spill path, not the
+    packed buffer (two disjoint genomes -> two components -> two workers)."""
+    rng = np.random.default_rng(24)
+    g1 = synth.random_genome(30_000, rng)
+    g2 = synth.random_genome(30_000, rng)
+    reads = (synth.make_reads(g1, 50, 2_500, rng)
+             + synth.make_reads(g2, 50, 2_500, rng))
+    cfg = CompressConfig(low_mem=True, work_dir=str(tmp_path),
+                         pipeline_workers=2)
+    res = _roundtrip(tmp_path, reads, cfg=cfg)
+    assert res["funnel"].contigs >= 2
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".packed")]
+    assert leftovers == [], leftovers
