@@ -179,42 +179,59 @@ def sharded_candidate_pairs(
     if slot_cap is None:
         slot_cap = max(64, 2 * N // n_dev)
     rids = np.arange(N, dtype=np.uint32)
-    shuffle = make_slot_shuffle_step(mesh, n_slots, slot_cap)
     rs = NamedSharding(mesh, P(READS_AXIS))
-    rv, rr, overflow = shuffle(
-        jax.device_put(np.asarray(sketches), rs), jax.device_put(rids, rs)
-    )
-    assert int(overflow) == 0, f"slot shuffle overflow {int(overflow)}"
+    sk_dev = jax.device_put(np.asarray(sketches), rs)
+    rid_dev = jax.device_put(rids, rs)
+    # cap-doubling retry: skewed hash ranges overflow the static buckets on
+    # adversarial inputs; double and re-run instead of dying (each cap is a
+    # separate compile, but caps grow geometrically so this is bounded)
+    for _ in range(8):
+        shuffle = make_slot_shuffle_step(mesh, n_slots, slot_cap)
+        rv, rr, overflow = shuffle(sk_dev, rid_dev)
+        if int(overflow) == 0:
+            break
+        slot_cap *= 2
+    else:
+        raise RuntimeError(f"slot shuffle overflow at cap {slot_cap}")
 
-    # host stage: per device shard, expand same-value groups into pairs
+    # host stage, vectorized over (slot, bucket-slot) at once per local
+    # device shard: sort by (slot segment, value), group boundaries by
+    # diff, then expand every group's g^2 ordered pairs with one
+    # repeat/divmod pass (no per-group Python). On a multi-host pod each
+    # host runs this over the device shards it owns.
     rv = np.asarray(rv)   # (n_dev, n_slots, n_dev*slot_cap)
     rr = np.asarray(rr)
     pairs_per_dev = []
     for d in range(n_dev):
-        local_q, local_r = [], []
-        for j in range(n_slots):
-            vals = rv[d, j]
-            ids = rr[d, j]
-            real = vals != sk.EMPTY_SLOT
-            vals, ids = vals[real], ids[real]
-            order = np.argsort(vals, kind="stable")
-            vals, ids = vals[order], ids[order]
-            boundary = np.ones(len(vals), dtype=bool)
-            boundary[1:] = vals[1:] != vals[:-1]
-            starts = np.flatnonzero(boundary)
-            sizes = np.diff(np.append(starts, len(vals)))
-            keep = (sizes >= 2) & (sizes <= max_bucket)
-            for s, g in zip(starts[keep], sizes[keep]):
-                grp = ids[s: s + g].astype(np.int32)
-                a = np.repeat(grp, g)
-                b = np.tile(grp, g)
-                ne = a != b
-                local_q.append(a[ne])
-                local_r.append(b[ne])
-        pairs_per_dev.append((
-            np.concatenate(local_q) if local_q else np.zeros(0, np.int32),
-            np.concatenate(local_r) if local_r else np.zeros(0, np.int32),
-        ))
+        vals = rv[d].reshape(-1).astype(np.uint64)
+        ids = rr[d].reshape(-1)
+        seg = np.repeat(np.arange(n_slots, dtype=np.uint64), rv.shape[2])
+        real = vals != sk.EMPTY_SLOT
+        key = (seg[real] << np.uint64(32)) | vals[real]
+        ids = ids[real]
+        order = np.argsort(key, kind="stable")
+        key, ids = key[order], ids[order]
+        boundary = np.ones(len(key), dtype=bool)
+        boundary[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, len(key)))
+        keepg = (sizes >= 2) & (sizes <= max_bucket)
+        gs = starts[keepg].astype(np.int64)
+        gz = sizes[keepg].astype(np.int64)
+        sq = gz * gz
+        total = int(sq.sum())
+        if total:
+            excl = np.zeros(len(sq), np.int64)
+            np.cumsum(sq[:-1], out=excl[1:])
+            within = np.arange(total, dtype=np.int64) - np.repeat(excl, sq)
+            base = np.repeat(gs, sq)
+            gsz = np.repeat(gz, sq)
+            a = ids[base + within // gsz].astype(np.int32)
+            b = ids[base + within % gsz].astype(np.int32)
+            ne = a != b
+            pairs_per_dev.append((a[ne], b[ne]))
+        else:
+            pairs_per_dev.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
 
     longest = max((len(q) for q, _ in pairs_per_dev), default=0)
     if pair_cap is None:
@@ -225,12 +242,17 @@ def sharded_candidate_pairs(
     for d, (q, r) in enumerate(pairs_per_dev):
         send_q[d, : len(q)] = q
         send_r[d, : len(r)] = r
-    exchange = make_pair_exchange_step(mesh, pair_cap)
-    rq, rr2, overflow2 = exchange(
-        jax.device_put(send_q.reshape(-1), rs),
-        jax.device_put(send_r.reshape(-1), rs),
-    )
-    assert int(overflow2) == 0, f"pair exchange overflow {int(overflow2)}"
+    for _ in range(8):
+        exchange = make_pair_exchange_step(mesh, pair_cap)
+        rq, rr2, overflow2 = exchange(
+            jax.device_put(send_q.reshape(-1), rs),
+            jax.device_put(send_r.reshape(-1), rs),
+        )
+        if int(overflow2) == 0:
+            break
+        pair_cap *= 2
+    else:
+        raise RuntimeError(f"pair exchange overflow at cap {pair_cap}")
     rq = np.asarray(rq).reshape(-1).astype(np.int64)
     rr2 = np.asarray(rr2).reshape(-1).astype(np.int64)
     good = rq >= 0
