@@ -65,9 +65,15 @@ class CompressConfig:
                                        # against the live consensus (the
                                        # reference's -DCHECKS replay equality,
                                        # src/Consensus.cpp:280-337); slow
-    aligner: str = "auto"              # "native" (C++), "tpu" (Pallas kernel);
-                                       # "auto" = native (host cores beat one
-                                       # tunneled chip; see contigs._align)
+    aligner: str = "auto"              # "native" = C++ stitched/banded DP;
+                                       # "tpu" = Pallas v2 kernel as the
+                                       # engine's batch DP backend; "python"
+                                       # = the numpy oracle wavefront;
+                                       # "auto" = native, plus a first-batch
+                                       # probe of the chip path when a TPU
+                                       # is attached and NSTPU_TPU_PROBE=1
+                                       # (docs/TPU_ALIGNER.md has the
+                                       # measured tradeoff)
 
     # --- resources ---
     num_threads: int = 0               # 0 = os.cpu_count(); host-side pools

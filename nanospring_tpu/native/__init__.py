@@ -169,6 +169,13 @@ def get_lib() -> ctypes.CDLL:
                 u8p, i64p,
                 i64p, i64p, i64p, i64p, i64p,
             ]
+            lib.ns_engine_set_tpu.restype = None
+            lib.ns_engine_set_tpu.argtypes = [
+                ctypes.c_void_p, u8p, u8p,
+                i32p, i32p, i32p, i32p,
+                i32p, i32p, i32p, u8p,
+                i64, i64, i32,
+            ]
             lib.ns_engine_fetch.restype = None
             lib.ns_engine_fetch.argtypes = [
                 ctypes.c_void_p, u8p, i64p, i64p,

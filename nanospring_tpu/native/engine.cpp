@@ -59,6 +59,57 @@ int32_t ns_banded_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
 
 namespace {
 
+// TPU DP hook: the Pallas kernel plugs in as an alternative batch aligner.
+// Python registers flat numpy buffers + a callback; dp_run fills the
+// buffers (diagonal-shifted targets, oriented queries), the callback runs
+// the kernel on the chip, and the byte trace comes back for expansion.
+// mode: 0 off, 1 forced on, 2 probe (first batch times both paths and the
+// faster one takes the rest of the run).
+struct TpuHook {
+    int32_t (*fn)(int64_t n_pairs) = nullptr;
+    uint8_t* tpad = nullptr;
+    uint8_t* qbuf = nullptr;
+    int32_t* d0 = nullptr;
+    int32_t* qlen = nullptr;
+    int32_t* tlen = nullptr;
+    int32_t* maxc = nullptr;
+    int32_t* cost = nullptr;
+    int32_t* ts = nullptr;
+    int32_t* te = nullptr;
+    uint8_t* trace = nullptr;
+    int64_t p_cap = 0, m_cap = 0;
+    int32_t mode = 0;
+};
+TpuHook g_tpu;
+constexpr int32_t TPU_W = 63;        // kernel band semantics
+constexpr int64_t TPU_KOFF = 64;
+
+}  // namespace
+
+extern "C" void ns_engine_set_tpu(
+    void* fn, uint8_t* tpad, uint8_t* qbuf,
+    int32_t* d0, int32_t* qlen, int32_t* tlen, int32_t* maxc,
+    int32_t* cost, int32_t* ts, int32_t* te, uint8_t* trace,
+    int64_t p_cap, int64_t m_cap, int32_t mode)
+{
+    g_tpu.fn = (int32_t (*)(int64_t))fn;
+    g_tpu.tpad = tpad;
+    g_tpu.qbuf = qbuf;
+    g_tpu.d0 = d0;
+    g_tpu.qlen = qlen;
+    g_tpu.tlen = tlen;
+    g_tpu.maxc = maxc;
+    g_tpu.cost = cost;
+    g_tpu.ts = ts;
+    g_tpu.te = te;
+    g_tpu.trace = trace;
+    g_tpu.p_cap = p_cap;
+    g_tpu.m_cap = m_cap;
+    g_tpu.mode = mode;
+}
+
+namespace {
+
 enum Param {
     P_SEED_K = 0, P_SEED_W, P_MAX_CHAIN, P_BAND, P_MAXCOST_KB,
     P_MIN_OVERLAP, P_ALIGN_BATCH, P_FRONTIER, P_EDGE_THR, P_MIN_LEN,
@@ -590,11 +641,185 @@ struct Engine {
         t_place += now_s() - t0;
     }
 
-    // DP only: touches nothing but the batch's own snapshots (safe to run
-    // concurrently with settle() of the previous batch)
+    // TPU batch DP: fill the registered buffers, run the kernel via the
+    // Python callback, expand the byte traces into op tapes. Pairs the
+    // kernel can't take (escalated full-band retries, over-long queries,
+    // escape rows) run on the exact scalar DP.
+    bool dp_run_tpu(BatchState& bs) {
+        std::vector<Placed>& batch = bs.batch;
+        const int64_t tw = g_tpu.m_cap + 3 * 128;
+        const int64_t qw = g_tpu.m_cap + 2 * 128;
+        std::vector<int64_t> tp_idx;      // batch index per kernel slot
+        tp_idx.reserve(batch.size());
+        for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
+            Placed& p = batch[(size_t)b];
+            const int64_t m = p.qhi - p.qlo;
+            if (!p.item.full_band && m > 0 && m <= g_tpu.m_cap &&
+                (int64_t)tp_idx.size() < g_tpu.p_cap)
+                tp_idx.push_back(b);
+        }
+        if (tp_idx.empty()) return false;
+        // longest-first so each 16-pair program is length-homogeneous
+        std::sort(tp_idx.begin(), tp_idx.end(), [&](int64_t a, int64_t b) {
+            return (batch[(size_t)a].qhi - batch[(size_t)a].qlo) >
+                   (batch[(size_t)b].qhi - batch[(size_t)b].qlo);
+        });
+        const int64_t P = (int64_t)tp_idx.size();
+        const int64_t P_pad = g_tpu.p_cap;   // fixed shape: one compile
+        #pragma omp parallel for schedule(dynamic, 8)
+        for (int64_t x = 0; x < P_pad; ++x) {
+            uint8_t* trow = g_tpu.tpad + x * tw;
+            uint8_t* qrow = g_tpu.qbuf + x * qw;
+            if (x >= P) {
+                g_tpu.d0[x] = 0; g_tpu.qlen[x] = 0;
+                g_tpu.tlen[x] = 0; g_tpu.maxc[x] = 0;
+                continue;
+            }
+            Placed& p = batch[(size_t)tp_idx[(size_t)x]];
+            const int64_t m = p.qhi - p.qlo;
+            const int64_t n = (int64_t)p.tgt.size();
+            std::memset(trow, 0xFF, (size_t)tw);
+            // tpad[y] = tgt[y + d0 - (KOFF+1)]
+            const int64_t lo = p.d0_win - (TPU_KOFF + 1);
+            int64_t b0 = lo < 0 ? -lo : 0;
+            int64_t e0 = tw;
+            if (lo + e0 > n) e0 = n - lo;
+            if (e0 > b0)
+                std::memcpy(trow + b0, p.tgt.data() + lo + b0,
+                            (size_t)(e0 - b0));
+            std::memcpy(qrow, p.codes.data() + p.qlo, (size_t)m);
+            if (m < qw) std::memset(qrow + m, 0, (size_t)(qw - m));
+            g_tpu.d0[x] = (int32_t)p.d0_win;
+            g_tpu.qlen[x] = (int32_t)m;
+            g_tpu.tlen[x] = (int32_t)n;
+            g_tpu.maxc[x] =
+                (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
+        }
+        if (g_tpu.fn(P_pad) != 0) return false;   // fall back whole batch
+        // expand traces (+ per-pair exact-DP fallback on escapes/rejects)
+        #pragma omp parallel for schedule(dynamic, 8)
+        for (int64_t x = 0; x < P; ++x) {
+            Placed& p = batch[(size_t)tp_idx[(size_t)x]];
+            const int64_t m = p.qhi - p.qlo;
+            const int64_t ops_cap = 2 * m + 2 * p.band + 2;
+            p.ops.resize((size_t)ops_cap);
+            const uint8_t* rows = g_tpu.trace + x * g_tpu.m_cap;
+            bool esc = false;
+            if (g_tpu.cost[x] >= 0) {
+                int64_t len = 0;
+                for (int64_t r = 0; r < m; ++r) {
+                    const uint8_t rec = rows[r];
+                    if (rec == 255) { esc = true; break; }
+                    const int64_t dels = rec & 63;
+                    const uint8_t op2 = rec >> 6;
+                    if (len + 1 + dels > ops_cap) { esc = true; break; }
+                    p.ops[(size_t)len++] =
+                        op2 == 2 ? 'i' : (op2 == 0 ? '=' : 's');
+                    for (int64_t y = 0; y < dels; ++y)
+                        p.ops[(size_t)len++] = 'd';
+                }
+                if (!esc) {
+                    p.cost = g_tpu.cost[x];
+                    p.ops_len = len;
+                    p.tstart = g_tpu.ts[x];
+                    p.tend = g_tpu.te[x];
+                }
+            } else {
+                p.cost = -1;
+                p.ops_len = 0;
+                p.tstart = 0;
+                p.tend = 0;
+            }
+            if (esc) {
+                const int32_t max_cost =
+                    (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
+                p.cost = ns_banded_align(
+                    p.tgt.data(), (int64_t)p.tgt.size(),
+                    p.codes.data() + p.qlo, m,
+                    p.d0_win, TPU_W, max_cost,
+                    p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
+            }
+        }
+        // everything the kernel didn't take runs on the host path
+        std::vector<uint8_t> taken(batch.size(), 0);
+        for (int64_t x : tp_idx) taken[(size_t)x] = 1;
+        #pragma omp parallel for schedule(dynamic, 2)
+        for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
+            if (taken[(size_t)b]) continue;
+            Placed& p = batch[(size_t)b];
+            const int64_t m = p.qhi - p.qlo;
+            const int64_t ops_cap = 2 * m + 2 * p.band + 2;
+            p.ops.resize((size_t)ops_cap);
+            const int32_t max_cost =
+                (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
+            p.cost = ns_banded_align(
+                p.tgt.data(), (int64_t)p.tgt.size(),
+                p.codes.data() + p.qlo, m,
+                p.d0_win, (int32_t)p.band, max_cost,
+                p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+            if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
+        }
+        return true;
+    }
+
+    int32_t tpu_decision = -1;   // probe: -1 undecided, 0 native, 1 tpu
+
     void dp_run(BatchState& bs) {
         if (bs.batch.empty()) return;
+        if (g_tpu.fn && g_tpu.mode == 1) {
+            const double t0 = now_s();
+            if (dp_run_tpu(bs)) {
+                t_dp += now_s() - t0;
+                n_dp += (int64_t)bs.batch.size();
+                for (const Placed& p : bs.batch)
+                    dp_bases += p.qhi - p.qlo;
+                return;
+            }
+        } else if (g_tpu.fn && g_tpu.mode == 2 && tpu_decision != 0) {
+            if (tpu_decision == -1 && (int64_t)bs.batch.size() >= 64) {
+                // probe: time the chip path, then the host path (host
+                // results overwrite and win; they also keep determinism)
+                const double ta = now_s();
+                const bool ok = dp_run_tpu(bs);
+                const double tpu_s = now_s() - ta;
+                const double tb = now_s();
+                dp_run_native(bs);
+                const double nat_s = now_s() - tb;
+                tpu_decision = (ok && tpu_s < nat_s) ? 1 : 0;
+                if (std::getenv("NS_ENGINE_DEBUG"))
+                    std::fprintf(stderr,
+                                 "[engine] dp probe: tpu %.3fs native %.3fs"
+                                 " -> %s\n", tpu_s, nat_s,
+                                 tpu_decision ? "tpu" : "native");
+                t_dp += now_s() - ta;
+                n_dp += (int64_t)bs.batch.size();
+                for (const Placed& p : bs.batch)
+                    dp_bases += p.qhi - p.qlo;
+                return;
+            }
+            if (tpu_decision == 1) {
+                const double t0 = now_s();
+                if (dp_run_tpu(bs)) {
+                    t_dp += now_s() - t0;
+                    n_dp += (int64_t)bs.batch.size();
+                    for (const Placed& p : bs.batch)
+                        dp_bases += p.qhi - p.qlo;
+                    return;
+                }
+            }
+        }
         const double t0 = now_s();
+        dp_run_native(bs);
+        t_dp += now_s() - t0;
+        n_dp += (int64_t)bs.batch.size();
+        for (const Placed& p : bs.batch) dp_bases += p.qhi - p.qlo;
+    }
+
+    // DP only: touches nothing but the batch's own snapshots (safe to run
+    // concurrently with settle() of the previous batch)
+    void dp_run_native(BatchState& bs) {
+        if (bs.batch.empty()) return;
         std::vector<Placed>& batch = bs.batch;
         int64_t stitch_bases = 0, full_dp_bases = 0;
         #pragma omp parallel for schedule(dynamic, 2) \
@@ -630,11 +855,8 @@ struct Engine {
             }
             if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
         }
-        t_dp += now_s() - t0;
-        n_dp += (int64_t)batch.size();
         n_stitch_bases += stitch_bases;
         n_full_dp_bases += full_dp_bases;
-        for (const Placed& p : batch) dp_bases += p.qhi - p.qlo;
     }
 
     void settle(BatchState& bs) {

@@ -371,3 +371,374 @@ def _expand(offs: np.ndarray, sizes: np.ndarray) -> np.ndarray:
     np.cumsum(sizes[:-1], out=excl[1:])
     within = np.arange(total, dtype=np.int64) - np.repeat(excl, sizes)
     return np.repeat(np.asarray(offs, np.int64), sizes) + within
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: int16 cost lanes, 128 band slots, 16 pairs per program, byte-
+# packed trace output. One (16, 128) int16 op is a single full VREG (vs two
+# for the v1 (8, 256) int32 shape), rows run in 16-row groups, and the trace
+# comes back at 1 byte per query row (4 rows packed per int32 lane) — the
+# d2h volume that dominates on weak links. Band semantics are exactly
+# ns_banded_align with W = 63: slots k in [1, 127] <-> diagonal offsets
+# j - i - d0 in [-63, +63].
+# ---------------------------------------------------------------------------
+
+_W16 = 128          # band slots (one VREG lane dim)
+_KOFF16 = 64
+_SUB16 = 16         # pairs per program (int16 sublane dim)
+_INF16 = np.int16(0x3FFF)
+M_PAD16_MAX = 8192  # dirs: 2 planes x (m_pad+16, 128) int32 ~ 8.4 MB VMEM
+TRACE_ESC = 255     # escape byte: host re-runs the pair on the exact DP
+
+
+def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
+              cost_ref, len_ref, ts_ref, te_ref, trace_out,
+              dirs_lo, dirs_hi, trace):
+    # cost lanes are int32: this Mosaic only rotates 32-bit vectors, so the
+    # planned int16 lanes (half the VREGs) wait on kernel support; the win
+    # over v1 is still 2x ALU per pair (128 slots, 16 pairs) plus the 4x
+    # smaller byte trace
+    pid = pl.program_id(0)
+    INF = jnp.int32(_INF16)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, _W16), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+
+    def col(ref):
+        out = jnp.zeros((_SUB16, 1), jnp.int32)
+        for s in range(_SUB16):
+            out = jnp.where(sub == s, ref[_SUB16 * pid + s], out)
+        return out
+
+    d0 = col(d0_ref)
+    m = col(m_ref)
+    n = col(n_ref)
+    maxc = col(maxc_ref)
+    i_max = jnp.max(m)
+
+    # slots k in [1, 127] (offset |j-i-d0| <= 63); k == 0 stays invalid so
+    # the kernel matches ns_banded_align(W=63) exactly
+    kvalid = k >= 1
+    j0 = d0 + (k - _KOFF16)
+    prev0 = jnp.where(kvalid & (j0 >= 0) & (j0 <= n),
+                      jnp.int32(0), INF)
+    zero_lo = jnp.full((_SUB16, _W16), 0x33333333, jnp.int32)
+
+    def row_group(carry):
+        i0, prev, _pl, _ph = carry
+        ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
+        rot0 = i0 - ib
+        # dynamic rotates must be 32-bit on this Mosaic ("Rotate with
+        # non-32-bit data"), so the uint8 loads widen before rolling
+        tch = tpad_ref[0, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
+        trot = pltpu.roll(tch, 3 * _W16 - rot0, axis=1)
+        qch = q_ref[0, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
+        qrot = pltpu.roll(qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1)
+        dbuf_lo = zero_lo
+        dbuf_hi = zero_lo
+        for r in range(_SUB16):
+            i = i0 + r
+            tchar = trot[:, r: r + _W16]
+            qc = qrot[:, r: r + 1]
+            j = d0 + i + (k - _KOFF16)
+            jvalid = kvalid & (j >= 0) & (j <= n)
+            dvalid = (j >= 1) & (j <= n)
+            match = tchar == qc
+            diag = jnp.where(
+                dvalid & (prev < INF),
+                prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+                INF,
+            )
+            up = pltpu.roll(prev, _W16 - 1, axis=1)
+            up = jnp.where((k < _W16 - 1) & (up < INF),
+                           up + jnp.int32(1), INF)
+            base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+            x = base - k
+            for sh in (1, 2, 4, 8, 16, 32, 64):
+                shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
+                x = jnp.minimum(x, shifted)
+            cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+            d = jnp.where(
+                cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
+                jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+            )
+            d = jnp.where(cur >= INF, jnp.int32(3), d)
+            live = (i >= 1) & (i <= m)
+            prev = jnp.where(live, cur, prev)
+            packed_lo = jnp.sum(
+                jnp.where(sub < 8, d << (4 * sub), 0), axis=0, keepdims=True)
+            packed_hi = jnp.sum(
+                jnp.where(sub >= 8, d << (4 * (sub - 8)), 0),
+                axis=0, keepdims=True)
+            rowlive = (i >= 1) & (i <= i_max)
+            dbuf_lo = jnp.where((sub128 == r) & rowlive,
+                                jnp.broadcast_to(packed_lo, (_SUB16, _W16)),
+                                dbuf_lo)
+            dbuf_hi = jnp.where((sub128 == r) & rowlive,
+                                jnp.broadcast_to(packed_hi, (_SUB16, _W16)),
+                                dbuf_hi)
+        base_row = pl.multiple_of(i0, _SUB16)
+        dirs_lo[pl.ds(base_row, _SUB16), :] = dbuf_lo
+        dirs_hi[pl.ds(base_row, _SUB16), :] = dbuf_hi
+        return i0 + _SUB16, prev, dbuf_lo, dbuf_hi
+
+    _i, prev, _dl, _dh = jax.lax.while_loop(
+        lambda c: c[0] <= i_max, row_group,
+        (jnp.int32(0), prev0, zero_lo, zero_lo))
+
+    jm = d0 + m + (k - _KOFF16)
+    final = jnp.where(kvalid & (jm >= 0) & (jm <= n),
+                      prev, jnp.int32(1 << 20))
+    best = jnp.min(final, axis=1, keepdims=True)
+    best_k = jnp.min(jnp.where(final == best, k, jnp.int32(_W16)),
+                     axis=1, keepdims=True)
+    ok = (best <= maxc) & (m > 0)
+
+    def tb_group(carry):
+        g0, kk, ndel, strip = carry
+        base_row = pl.multiple_of(g0, _SUB16)
+        blk_lo = dirs_lo[pl.ds(base_row, _SUB16), :]
+        blk_hi = dirs_hi[pl.ds(base_row, _SUB16), :]
+        for r in range(_SUB16 - 1, -1, -1):
+            i = g0 + r
+            active = (i >= 1) & (i <= m) & ok
+            row_lo = jnp.broadcast_to(blk_lo[r: r + 1, :], (_SUB16, _W16))
+            row_hi = jnp.broadcast_to(blk_hi[r: r + 1, :], (_SUB16, _W16))
+            row_d = jnp.where(
+                sub < 8,
+                (row_lo >> (4 * sub)) & 7,
+                (row_hi >> (4 * (sub - 8))) & 7,
+            )
+            opb = row_d & 3
+            nd_mask = (opb != 2) & (k <= kk)
+            kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                         axis=1, keepdims=True)
+            dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                           axis=1, keepdims=True)
+            optype = dval & 3
+            mbit = dval >> 2
+            dels = kk - kp
+            # byte: op2(2b) << 6 | dels(6b); op2: 0 '=', 1 's', 2 'i';
+            # 255 = escape (dels too long / broken cell -> host re-runs)
+            op2 = jnp.where(optype == 1, jnp.int32(2),
+                            jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
+            esc = (dels > 62) | (optype >= 3) | (dval < 0)
+            rec = jnp.where(esc, jnp.int32(TRACE_ESC), (op2 << 6) | dels)
+            pos = i - 1
+            lane = (pos % 512) // 4
+            sh8 = 8 * (pos % 4)
+            strip = jnp.where((lane128 == lane) & active,
+                              strip + (rec << sh8), strip)
+            flush = (pos % 512 == 0) & (i >= 1)
+
+            @pl.when(flush)
+            def _(strip=strip, pos=pos):
+                soff = pl.multiple_of(pos // 4, _W16)
+                trace[:, pl.ds(soff, _W16)] = strip
+
+            strip = jnp.where(flush, jnp.int32(0), strip)
+            kk = jnp.where(
+                active,
+                kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+                kk)
+            ndel = ndel + jnp.where(active & ~esc, dels, jnp.int32(0))
+        return g0 - _SUB16, kk, ndel, strip
+
+    _g, k_fin, ndel, _s = jax.lax.while_loop(
+        lambda c: c[0] >= 0, tb_group,
+        ((i_max // _SUB16) * _SUB16, best_k,
+         jnp.zeros((_SUB16, 1), jnp.int32),
+         jnp.zeros((_SUB16, _W16), jnp.int32)))
+
+    cost = jnp.where(ok, best, jnp.where(m > 0, jnp.int32(-1), jnp.int32(0)))
+    ops_len = jnp.where(ok, m + ndel, 0)
+    tstart = jnp.where(ok, d0 + (k_fin - _KOFF16), 0)
+    tend = jnp.where(ok, d0 + m + (best_k - _KOFF16), 0)
+    NEG = jnp.int32(-(1 << 30))
+    for s in range(_SUB16):
+        pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+        cost_ref[_SUB16 * pid + s] = pick(cost)
+        len_ref[_SUB16 * pid + s] = pick(ops_len)
+        ts_ref[_SUB16 * pid + s] = pick(tstart)
+        te_ref[_SUB16 * pid + s] = pick(tend)
+    trace_out[0, :, :] = trace[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
+def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
+                    m_pad: int, interpret: bool = False):
+    PB = tpad.shape[0]
+    scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tw = m_pad + 3 * _W16
+    qw = m_pad + 2 * _W16
+    out = pl.pallas_call(
+        _kernel16,
+        grid=(PB,),
+        in_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((1, _SUB16, tw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB16, qw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((1, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m_pad + _SUB16, _W16), jnp.int32),
+            pltpu.VMEM((m_pad + _SUB16, _W16), jnp.int32),
+            pltpu.VMEM((_SUB16, m_pad // 4), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d0, q_len, t_len, max_cost, tpad, queries)
+    return out
+
+
+def banded_align_batch_tpu16(
+    targets_flat: np.ndarray, t_off: np.ndarray, t_len: np.ndarray,
+    queries_flat: np.ndarray, q_off: np.ndarray, q_len: np.ndarray,
+    d0: np.ndarray, max_cost_per_kb: int = 500,
+    interpret: bool = False,
+) -> "AlignResult":
+    """v2 entry point: band fixed at ns_banded_align(W=63) semantics.
+
+    Queries above M_PAD16_MAX or pairs whose trace rows escape fall back to
+    the exact C++ DP per pair (the engine handles that on its side; this
+    standalone wrapper does it inline for tests)."""
+    P = len(q_len)
+    if P == 0:
+        z = np.zeros(0, np.int64)
+        return AlignResult(np.zeros(0, np.int32), z, z,
+                           np.zeros(0, np.uint8), z.copy(), z.copy())
+    order = np.argsort(-np.asarray(q_len), kind="stable")
+    q_len_s = np.asarray(q_len)[order].astype(np.int64)
+    t_len_s = np.asarray(t_len)[order].astype(np.int64)
+    q_off_s = np.asarray(q_off)[order].astype(np.int64)
+    t_off_s = np.asarray(t_off)[order].astype(np.int64)
+    d0_s = np.asarray(d0)[order].astype(np.int64)
+    m_pad = 1 << max(9, int(np.max(q_len_s) - 1).bit_length())
+    if m_pad > M_PAD16_MAX:
+        raise ValueError("query too long for the v2 kernel")
+    blocks = max(1, -(-P // _SUB16))
+    p_pad = blocks * _SUB16
+    tw = m_pad + 3 * _W16
+    qw = m_pad + 2 * _W16
+    tpad = np.full((p_pad, tw), 0xFF, dtype=np.uint8)
+    qbuf = np.zeros((p_pad, qw), dtype=np.uint8)
+    pidx = np.arange(P, dtype=np.int64)
+    tgt = _expand(pidx * qw, q_len_s)
+    src = _expand(q_off_s, q_len_s)
+    qbuf.reshape(-1)[tgt] = queries_flat[src]
+    # tpad[x] = t[x + d0 - (KOFF+1)]
+    lo = d0_s - (_KOFF16 + 1)
+    st = np.maximum(0, -lo)
+    en = np.minimum(tw, t_len_s - lo)
+    ln = np.maximum(0, en - st)
+    tgt = _expand(pidx * tw + st, ln)
+    src = _expand(t_off_s + lo + st, ln)
+    tpad.reshape(-1)[tgt] = targets_flat[src]
+    d0a = np.zeros(p_pad, np.int32)
+    qla = np.zeros(p_pad, np.int32)
+    tla = np.zeros(p_pad, np.int32)
+    mca = np.zeros(p_pad, np.int32)
+    d0a[:P] = d0_s
+    qla[:P] = q_len_s
+    tla[:P] = t_len_s
+    mca[:P] = q_len_s * max_cost_per_kb // 1000 + 8
+
+    cost, ops_len, ts, te, trace = _align_padded16(
+        d0a, qla, tla, mca,
+        tpad.reshape(blocks, _SUB16, tw), qbuf.reshape(blocks, _SUB16, qw),
+        m_pad=m_pad, interpret=interpret)
+    cost = np.asarray(cost)[:P].astype(np.int32)
+    ops_len = np.asarray(ops_len)[:P].astype(np.int64)
+    ts = np.asarray(ts)[:P].astype(np.int64)
+    te = np.asarray(te)[:P].astype(np.int64)
+    tr_bytes = (np.asarray(trace).view(np.uint8)
+                .reshape(p_pad, m_pad)[:P])
+
+    # expand trace bytes -> op bytes (numpy; the engine path uses the C++
+    # expander). Escaped pairs re-run on the exact scalar DP.
+    from .. import native
+
+    lib = None
+    try:
+        lib = native.get_lib()
+    except Exception:
+        pass
+    bad = cost < 0
+    ops_len[bad] = 0
+    ts[bad] = 0
+    te[bad] = 0
+    out_parts = []
+    ops_off = np.zeros(P, np.int64)
+    acc = 0
+    import ctypes
+    for p in range(P):
+        ops_off[p] = acc
+        if cost[p] < 0:
+            continue
+        rows = tr_bytes[p, : q_len_s[p]]
+        if (rows == TRACE_ESC).any():
+            # escape: exact DP for this pair
+            assert lib is not None, "escape needs the native library"
+            m_ = int(q_len_s[p])
+            cap = 2 * m_ + 2 * 63 + 2
+            buf = np.empty(cap, np.uint8)
+            ol = ctypes.c_int64()
+            t1 = ctypes.c_int64()
+            t2 = ctypes.c_int64()
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            tseg = np.ascontiguousarray(
+                targets_flat[t_off_s[p]: t_off_s[p] + t_len_s[p]])
+            qseg = np.ascontiguousarray(
+                queries_flat[q_off_s[p]: q_off_s[p] + m_])
+            c = lib.ns_banded_align(
+                tseg.ctypes.data_as(u8p), ctypes.c_int64(len(tseg)),
+                qseg.ctypes.data_as(u8p), ctypes.c_int64(m_),
+                ctypes.c_int64(int(d0_s[p])), ctypes.c_int32(63),
+                ctypes.c_int32(int(mca[p])),
+                buf.ctypes.data_as(u8p), ctypes.c_int64(cap),
+                ctypes.byref(ol), ctypes.byref(t1), ctypes.byref(t2))
+            cost[p] = c
+            if c < 0:
+                ops_len[p] = 0
+                ts[p] = 0
+                te[p] = 0
+                continue
+            ops_len[p] = ol.value
+            ts[p] = t1.value
+            te[p] = t2.value
+            out_parts.append(buf[: ol.value].copy())
+            acc += ol.value
+            continue
+        dels = (rows & 63).astype(np.int64)
+        op2 = rows >> 6
+        opchar = np.where(op2 == 2, np.uint8(ord("i")),
+                          np.where(op2 == 0, np.uint8(ord("=")),
+                                   np.uint8(ord("s"))))
+        total = int(q_len_s[p] + dels.sum())
+        seg = np.full(total, ord("d"), np.uint8)
+        pos_ = np.cumsum(1 + dels) - 1  # op byte goes AFTER its dels? no:
+        # record layout matches v1: op byte first, then dels 'd's
+        start = np.concatenate([[0], np.cumsum(1 + dels)[:-1]])
+        seg[start] = opchar
+        out_parts.append(seg)
+        ops_len[p] = total
+        acc += total
+    ops_flat = (np.concatenate(out_parts) if out_parts
+                else np.zeros(0, np.uint8))
+    inv = np.empty(P, np.int64)
+    inv[order] = np.arange(P)
+    return AlignResult(cost[inv], ts[inv], te[inv], ops_flat,
+                       ops_off[inv], ops_len[inv])

@@ -1127,11 +1127,95 @@ class _ShimState:
         self.members = members
 
 
+class _TpuDpHook:
+    """Registers the Pallas v2 aligner as the engine's batch DP backend.
+
+    The engine fills the flat buffers here (diagonal-shifted target
+    windows, oriented queries, scalars), calls ``fn`` from its DP thread
+    (ctypes re-acquires the GIL; the engine's main thread is pure C++ and
+    keeps placing/settling meanwhile), and reads costs + byte traces back
+    out of the same buffers. Fixed shapes (p_cap x m_cap) keep it at one
+    kernel compile per process."""
+
+    P_CAP = 512
+    M_CAP = 8192
+
+    def __init__(self, lib):
+        import ctypes
+
+        from ..ops import align_tpu as at
+
+        self.lib = lib
+        tw = self.M_CAP + 3 * 128
+        qw = self.M_CAP + 2 * 128
+        self.tpad = np.empty((self.P_CAP, tw), np.uint8)
+        self.qbuf = np.empty((self.P_CAP, qw), np.uint8)
+        self.d0 = np.zeros(self.P_CAP, np.int32)
+        self.qlen = np.zeros(self.P_CAP, np.int32)
+        self.tlen = np.zeros(self.P_CAP, np.int32)
+        self.maxc = np.zeros(self.P_CAP, np.int32)
+        self.cost = np.zeros(self.P_CAP, np.int32)
+        self.ts = np.zeros(self.P_CAP, np.int32)
+        self.te = np.zeros(self.P_CAP, np.int32)
+        self.trace = np.zeros((self.P_CAP, self.M_CAP), np.uint8)
+        self._at = at
+        self._tw, self._qw = tw, qw
+
+        @ctypes.CFUNCTYPE(ctypes.c_int32, ctypes.c_int64)
+        def _cb(n_pairs):
+            try:
+                import jax
+
+                pb = int(n_pairs) // 16
+                out = at._align_padded16(
+                    self.d0, self.qlen, self.tlen, self.maxc,
+                    self.tpad.reshape(pb, 16, tw),
+                    self.qbuf.reshape(pb, 16, qw),
+                    m_pad=self.M_CAP)
+                self.cost[:] = np.asarray(out[0])
+                self.ts[:] = np.asarray(out[2])
+                self.te[:] = np.asarray(out[3])
+                self.trace[:] = (np.asarray(out[4]).view(np.uint8)
+                                 .reshape(self.P_CAP, self.M_CAP))
+                return 0
+            except Exception:
+                return 1
+
+        self._cb = _cb  # keep the callback object alive
+
+    def install(self, mode: int) -> None:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self.lib.ns_engine_set_tpu(
+            ctypes.cast(self._cb, ctypes.c_void_p),
+            self.tpad.ctypes.data_as(u8p), self.qbuf.ctypes.data_as(u8p),
+            self.d0.ctypes.data_as(i32p), self.qlen.ctypes.data_as(i32p),
+            self.tlen.ctypes.data_as(i32p), self.maxc.ctypes.data_as(i32p),
+            self.cost.ctypes.data_as(i32p), self.ts.ctypes.data_as(i32p),
+            self.te.ctypes.data_as(i32p), self.trace.ctypes.data_as(u8p),
+            ctypes.c_int64(self.P_CAP), ctypes.c_int64(self.M_CAP),
+            ctypes.c_int32(mode))
+
+    def clear(self) -> None:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        null8 = ctypes.cast(None, u8p)
+        null32 = ctypes.cast(None, i32p)
+        self.lib.ns_engine_set_tpu(
+            None, null8, null8, null32, null32, null32, null32,
+            null32, null32, null32, null8,
+            ctypes.c_int64(0), ctypes.c_int64(0), ctypes.c_int32(0))
+
+
 def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
                             graph: dict, comp_subset) -> dict | None:
     """Whole grow loop in C++ (native/engine.cpp); None -> use the Python
-    wavefront (no compiler, or the TPU aligner was requested)."""
-    if cfg.aligner == "tpu":
+    wavefront (no compiler available, or aligner="python" requested)."""
+    if cfg.aligner == "python":
         return None
     try:
         import ctypes
@@ -1141,6 +1225,16 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         lib = native.get_lib()
     except Exception:
         return None
+    # TPU DP backend: "tpu" forces the chip; "auto" with a chip attached
+    # probes both paths on the first big batch and keeps the faster one
+    tpu_hook = None
+    if cfg.aligner == "tpu" or (cfg.aligner == "auto" and _tpu_attached()
+                                and os.environ.get("NSTPU_TPU_PROBE") == "1"):
+        try:
+            tpu_hook = _TpuDpHook(lib)
+            tpu_hook.install(1 if cfg.aligner == "tpu" else 2)
+        except Exception:
+            tpu_hook = None
     comp_order = graph["comp_order"]
     boundaries = graph["boundaries"]
     comps = []
@@ -1206,6 +1300,8 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         )
     finally:
         lib.ns_engine_free(ctypes.c_void_p(h))
+        if tpu_hook is not None:
+            tpu_hook.clear()
     stats.not_claimed += int(st2[0])
     stats.aligned_ok += int(st2[1])
 

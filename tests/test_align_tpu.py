@@ -87,3 +87,56 @@ def test_tpu_kernel_rejects_garbage():
         np.array([0]), max_cost_per_kb=100, interpret=True,
     )
     assert res.cost[0] == -1 and res.ops_len[0] == 0
+
+
+def test_tpu16_kernel_matches_native():
+    """v2 kernel (int16/128-slot/16-pair, byte traces) must match the exact
+    C++ DP at W=63: equal costs, replay-valid scripts."""
+    from nanospring_tpu.ops.align_tpu import banded_align_batch_tpu16
+
+    rng = np.random.default_rng(3)
+    args = _mkbatch(19, rng)
+    ref = banded_align_batch(*args, band=63, use_native=True)
+    tpu = banded_align_batch_tpu16(*args, interpret=True)
+    assert np.array_equal(ref.cost, tpu.cost), (ref.cost, tpu.cost)
+    for p in range(19):
+        if tpu.cost[p] >= 0:
+            assert _replay_ok(args, tpu, p), p
+
+
+def test_tpu16_rejects_garbage():
+    from nanospring_tpu.ops.align_tpu import banded_align_batch_tpu16
+
+    rng = np.random.default_rng(4)
+    t = rng.integers(0, 4, 600).astype(np.uint8)
+    q = rng.integers(0, 4, 500).astype(np.uint8)  # unrelated
+    res = banded_align_batch_tpu16(
+        t, np.array([0]), np.array([600]),
+        q, np.array([0]), np.array([500]), np.array([50]),
+        max_cost_per_kb=300, interpret=True)
+    assert res.cost[0] == -1
+
+
+def test_engine_tpu_backend_graceful_fallback(tmp_path):
+    """aligner='tpu' on a host without a usable chip must fall back to the
+    native DP inside the engine and stay lossless (the callback returns
+    nonzero; dp_run reruns the batch on the host path)."""
+    from nanospring_tpu.compressor import compress_file
+    from nanospring_tpu.config import CompressConfig
+    from nanospring_tpu.decompressor import decompress_file
+    from nanospring_tpu.utils import synth
+
+    rng = np.random.default_rng(17)
+    genome = synth.random_genome(40_000, rng)
+    reads = synth.make_reads(genome, 80, 2_500, rng)
+    fq = str(tmp_path / "in.fastq")
+    synth.write_fastq(fq, reads, gz=False)
+    arc = str(tmp_path / "o.nstpu")
+    res = compress_file(fq, arc,
+                        CompressConfig(aligner="tpu", pipeline_workers=1),
+                        report=False)
+    out = str(tmp_path / "o.reads")
+    decompress_file(arc, out, report=False)
+    with open(out, "rb") as f:
+        assert f.read().split(b"\n")[:-1] == reads
+    assert res["ratio"] > 1.0
