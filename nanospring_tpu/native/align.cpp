@@ -384,7 +384,7 @@ int32_t ns_stitch_align(
     int64_t* tstart_out, int64_t* tend_out)
 {
     constexpr int64_t JUMP_MAX = 64;    // max diag shift between pins
-    constexpr int64_t LOOKBACK = 64;    // chain-DP lookback bound
+    constexpr int64_t LOOKBACK = 32;    // chain-DP lookback bound
     constexpr int32_t SUB_MAX = 3;      // mismatches tolerated per run
                                         // before the segment is DP'd
     // in-band candidate pins

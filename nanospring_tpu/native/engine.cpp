@@ -575,8 +575,11 @@ struct Engine {
         std::vector<uint8_t> okv;
         while (!queue.empty() && (int64_t)batch.size() < prm[P_ALIGN_BATCH]) {
             picked.clear();
+            // small overshoot only: every placed-but-not-admitted item is
+            // re-queued and re-placed later, so chunks barely larger than
+            // the remaining need waste the least placement work
             const int64_t want =
-                2 * prm[P_ALIGN_BATCH] - (int64_t)batch.size();
+                prm[P_ALIGN_BATCH] - (int64_t)batch.size() + 32;
             while (!queue.empty() && (int64_t)picked.size() < want) {
                 Item it = queue.back();
                 queue.pop_back();

@@ -253,9 +253,25 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
         const int64_t L = (int64_t)cons.size();
         if (L == 0) return;
         std::vector<int64_t> del_votes(L, 0), base_votes(L, 0);
+        std::vector<int64_t> bdiff((size_t)L + 2, 0);
         for (const Member& m : ms) {
-            int64_t tcol = m.tstart;
-            for (uint8_t o : m.ops) {
+            // '=' runs vote base coverage via a difference array; only the
+            // sparse edits are visited individually (skip_eq)
+            const uint8_t* ops = m.ops.data();
+            const int64_t n = (int64_t)m.ops.size();
+            int64_t x = 0, tcol = m.tstart;
+            while (x < n) {
+                const int64_t x2 = skip_eq(ops, x, n);
+                const int64_t run = x2 - x;
+                if (run) {
+                    const int64_t lo = tcol > 0 ? tcol : 0;
+                    const int64_t hi = tcol + run < L ? tcol + run : L;
+                    if (hi > lo) { ++bdiff[lo]; --bdiff[hi]; }
+                    tcol += run;
+                    x = x2;
+                    if (x >= n) break;
+                }
+                const uint8_t o = ops[x];
                 if (o != 'i') {
                     if (tcol >= 0 && tcol < L) {
                         if (o == 'd') ++del_votes[tcol];
@@ -263,6 +279,14 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
                     }
                     ++tcol;
                 }
+                ++x;
+            }
+        }
+        {
+            int64_t acc = 0;
+            for (int64_t c = 0; c < L; ++c) {
+                acc += bdiff[(size_t)c];
+                base_votes[(size_t)c] += acc;
             }
         }
         std::vector<uint8_t> delmask(L, 0);
@@ -314,25 +338,37 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
         std::vector<int64_t> cov(L + 3, 0);
         for (const Member& m : ms) {
             const int64_t n = (int64_t)m.ops.size();
-            // first/last target-consuming ops
+            // first/last target-consuming ops ('=' counts, so any '=' run
+            // bounds them; only all-'i' prefixes/suffixes need scanning)
             int64_t first_c = -1, last_c = -1;
-            for (int64_t x = 0; x < n; ++x) {
-                if (m.ops[x] != 'i') {
-                    if (first_c < 0) first_c = x;
-                    last_c = x;
-                }
-            }
+            for (int64_t x = 0; x < n; ++x)
+                if (m.ops[x] != 'i') { first_c = x; break; }
             if (first_c < 0) continue;
+            for (int64_t x = n - 1; x >= 0; --x)
+                if (m.ops[x] != 'i') { last_c = x; break; }
+            const uint8_t* ops = m.ops.data();
             int64_t tcol = m.tstart, qpos = 0;
             int64_t ts_rel = -1, te_rel = -1;
             int64_t prev_gap = -1;
             bool prev_was_i = false;
-            for (int64_t x = 0; x < n; ++x) {
-                const uint8_t o = m.ops[x];
+            int64_t x = 0;
+            while (x < n) {
+                const int64_t x2 = skip_eq(ops, x, n);
+                if (x2 > x) {   // '=' run: consumes both, breaks 'i' runs
+                    if (first_c >= x && first_c < x2)
+                        ts_rel = tcol + (first_c - x);
+                    if (last_c >= x && last_c < x2)
+                        te_rel = tcol + (last_c - x) + 1;
+                    tcol += x2 - x;
+                    qpos += x2 - x;
+                    prev_was_i = false;
+                    x = x2;
+                    if (x >= n) break;
+                }
+                const uint8_t o = ops[x];
                 if (x == first_c) ts_rel = tcol;
                 if (x == last_c) te_rel = tcol + 1;
                 if (o == 'i' && x > first_c && x < last_c) {
-                    // interior insertion run: vote only its first base
                     if (!(prev_was_i && prev_gap == tcol)) {
                         if (tcol >= 0 && tcol <= L)
                             ++iv[(size_t)tcol * 4 + (m.codes[qpos] & 3)];
@@ -344,6 +380,7 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
                 }
                 if (o != 'i') ++tcol;
                 if (o != 'd') ++qpos;
+                ++x;
             }
             int64_t a = ts_rel + 1;
             int64_t b = te_rel > a ? te_rel : a;
