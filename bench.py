@@ -58,12 +58,12 @@ def main() -> int:
     import numpy as np
     np.asarray(jax.jit(lambda x: x + 1)(np.ones(8, np.float32)))
 
-    # best-of-2: the shared dev hosts show ~2x co-tenant noise between
+    # best-of-3: the shared dev hosts show 2-4x co-tenant noise between
     # identical runs (same deterministic outputs), so one sample badly
     # under-reports the pipeline
     arc = os.path.join(work, "bench.nstpu")
     compress_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = compressor.compress_file(fq, arc, report=False)
         compress_s = min(compress_s, time.time() - t0)

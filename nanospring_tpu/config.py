@@ -32,6 +32,9 @@ class CompressConfig:
                                        # tighter scripts AND less DP work)
     max_edit_frac: float = 0.5         # reject alignment if edits/len above this
     min_overlap: int = 150             # min overlapping bases to accept a member
+    max_place_attempts: int = 8        # stale-clip retry cap per candidate
+                                       # (engine.cpp apply(); gates how hard
+                                       # end-extension races are retried)
 
     # --- contig building (reference: src/Consensus.cpp) ---
     edge_threshold: int = 4_000_000    # --edge-thr analog: cap on contig work
@@ -84,12 +87,14 @@ class CompressConfig:
     work_dir: str | None = None        # temp dir root (None -> system tmp)
 
     # --- codec stage (reference: src/Compressor.cpp:126-130) ---
-    # All streams default to the from-scratch C++ BWT codec (nsbwt): on the
-    # bench streams it beats bz2-9 on every stream it owns and lands within
-    # 0.7% of lzma preset-6 on .base at ~6x the speed (docs/CODECS.md).
-    # The reference uses libbsc for 6 streams and fast-lzma2 for .base.
-    base_codec: str = "nsbwt"          # .base/.lone codec ("lzma" optional)
-    default_codec: str = "nsbwt"       # remaining streams
+    # Per-stream winners, measured in docs/CODECS.md: the from-scratch LZ77
+    # + range coder (nslz, the fast-lzma2 role) owns .pos and .base (beats
+    # both nsbwt and stdlib lzma-6 on .base, within 0.6% of lzma-6 on
+    # .pos); the from-scratch BWT codec (nsbwt, the libbsc role) owns the
+    # rest. "lzma"/"bz2"/"zlib" remain available per stream.
+    base_codec: str = "nslz"           # .base stream codec
+    pos_codec: str = "nslz"            # .pos stream codec
+    default_codec: str = "nsbwt"       # remaining streams (incl .lone)
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)

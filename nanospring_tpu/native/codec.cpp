@@ -206,6 +206,17 @@ struct RangeEncoder {
     }
   }
 
+  void encodeDirect(uint32_t v, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) {
+      range >>= 1;
+      if ((v >> i) & 1) low += range;
+      while (range < (1u << 24)) {
+        shiftLow();
+        range <<= 8;
+      }
+    }
+  }
+
   void flush() {
     for (int i = 0; i < 5; ++i) shiftLow();
   }
@@ -241,6 +252,24 @@ struct RangeDecoder {
       range <<= 8;
     }
     return bit;
+  }
+
+  uint32_t decodeDirect(int nbits) {
+    uint32_t v = 0;
+    for (int i = 0; i < nbits; ++i) {
+      range >>= 1;
+      int bit = 0;
+      if (code >= range) {
+        code -= range;
+        bit = 1;
+      }
+      v = (v << 1) | uint32_t(bit);
+      while (range < (1u << 24)) {
+        code = (code << 8) | next();
+        range <<= 8;
+      }
+    }
+    return v;
   }
 };
 
@@ -389,6 +418,346 @@ int64_t ns_bsc_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
   std::vector<uint8_t> bwt(n);
   coder_decode(in + 8, in_n - 8, bwt.data(), n);
   bwt_inverse(bwt.data(), n, primary, out);
+  return n;
+}
+
+}  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// nslz: from-scratch LZ77 + adaptive range coder (the fast-lzma2 role,
+// reference: src/lzma2.cpp + fast-lzma2/). Hash-chain match finder with
+// one-step lazy matching and a rep0 distance, LZMA-style length/dist-slot
+// models over the same binary range coder the BWT stage uses. Payload:
+// [u32 raw_n][u8 mode(0 stored, 1 lz)][coded...]; incompressible chunks
+// are stored.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int LZ_MIN_MATCH = 4;
+constexpr int LZ_MAX_MATCH = 273;
+constexpr int LZ_HASH_BITS = 17;
+constexpr int LZ_MAX_CHAIN = 24;
+
+struct LzModel {
+  uint16_t is_match[2];          // ctx: previous symbol was a match
+  uint16_t is_rep[2];
+  uint16_t lit[256][256];        // order-1: ctx = previous byte; bit tree
+  uint16_t len_choice[2][2];     // [rep][level]
+  uint16_t len_low[2][8];
+  uint16_t len_mid[2][8];
+  uint16_t len_high[2][256];
+  uint16_t dist_slot[4][64];     // ctx: min(len - LZ_MIN_MATCH, 3)
+  uint16_t align4[16];
+
+  LzModel() {
+    auto fill = [](uint16_t* a, size_t c) {
+      for (size_t i = 0; i < c; ++i) a[i] = 2048;
+    };
+    fill(is_match, 2);
+    fill(is_rep, 2);
+    fill(&lit[0][0], 256 * 256);
+    fill(&len_choice[0][0], 4);
+    fill(&len_low[0][0], 16);
+    fill(&len_mid[0][0], 16);
+    fill(&len_high[0][0], 512);
+    fill(&dist_slot[0][0], 4 * 64);
+    fill(align4, 16);
+  }
+};
+
+template <int NB>
+inline void tree_encode(RangeEncoder& rc, uint16_t* probs, uint32_t v) {
+  uint32_t node = 1;
+  for (int b = NB - 1; b >= 0; --b) {
+    const int bit = int((v >> b) & 1);
+    rc.encode(probs[node], bit);
+    node = (node << 1) | uint32_t(bit);
+  }
+}
+
+template <int NB>
+inline uint32_t tree_decode(RangeDecoder& rc, uint16_t* probs) {
+  uint32_t node = 1;
+  for (int b = 0; b < NB; ++b) node = (node << 1) | uint32_t(rc.decode(probs[node]));
+  return node - (1u << NB);
+}
+
+inline void len_encode(RangeEncoder& rc, LzModel& m, int rep, uint32_t l) {
+  // l = len - LZ_MIN_MATCH in [0, 269]
+  if (l < 8) {
+    rc.encode(m.len_choice[rep][0], 0);
+    tree_encode<3>(rc, m.len_low[rep], l);
+  } else if (l < 16) {
+    rc.encode(m.len_choice[rep][0], 1);
+    rc.encode(m.len_choice[rep][1], 0);
+    tree_encode<3>(rc, m.len_mid[rep], l - 8);
+  } else {
+    rc.encode(m.len_choice[rep][0], 1);
+    rc.encode(m.len_choice[rep][1], 1);
+    tree_encode<8>(rc, m.len_high[rep], l - 16);
+  }
+}
+
+inline uint32_t len_decode(RangeDecoder& rc, LzModel& m, int rep) {
+  if (!rc.decode(m.len_choice[rep][0])) return tree_decode<3>(rc, m.len_low[rep]);
+  if (!rc.decode(m.len_choice[rep][1]))
+    return 8 + tree_decode<3>(rc, m.len_mid[rep]);
+  return 16 + tree_decode<8>(rc, m.len_high[rep]);
+}
+
+inline void dist_encode(RangeEncoder& rc, LzModel& m, uint32_t lctx,
+                        uint32_t dist) {
+  const uint32_t dd = dist - 1;
+  uint32_t slot, nb = 0;
+  if (dd < 4) {
+    slot = dd;
+  } else {
+    nb = 31 - uint32_t(__builtin_clz(dd));
+    slot = (nb << 1) | ((dd >> (nb - 1)) & 1);
+  }
+  tree_encode<6>(rc, m.dist_slot[lctx], slot);
+  if (slot >= 4) {
+    const int extra = int(nb) - 1;
+    const uint32_t rem = dd & ((1u << extra) - 1);
+    if (extra <= 4) {
+      rc.encodeDirect(rem, extra);
+    } else {
+      rc.encodeDirect(rem >> 4, extra - 4);
+      tree_encode<4>(rc, m.align4, rem & 15);
+    }
+  }
+}
+
+inline uint32_t dist_decode(RangeDecoder& rc, LzModel& m, uint32_t lctx) {
+  const uint32_t slot = tree_decode<6>(rc, m.dist_slot[lctx]);
+  if (slot < 4) return slot + 1;
+  const uint32_t nb = slot >> 1;
+  const int extra = int(nb) - 1;
+  uint32_t dd = (2 | (slot & 1)) << (nb - 1);
+  if (extra <= 4) {
+    dd |= rc.decodeDirect(extra);
+  } else {
+    dd |= rc.decodeDirect(extra - 4) << 4;
+    dd |= tree_decode<4>(rc, m.align4);
+  }
+  return dd + 1;
+}
+
+inline uint32_t lz_hash4(const uint8_t* p) {
+  // hash 5 bytes: on 4-letter DNA-shaped streams a 4-byte hash buries the
+  // chains in spurious matches (1/256 collision rate vs 1/1024 here)
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  v &= 0xFFFFFFFFFFull;
+  return uint32_t((v * 0x9E3779B185EBCA87ull) >> (64 - LZ_HASH_BITS));
+}
+
+inline int lz_match_len(const uint8_t* a, const uint8_t* b, int64_t cap) {
+  int l = 0;
+  while (l + 8 <= cap) {
+    uint64_t x, y;
+    std::memcpy(&x, a + l, 8);
+    std::memcpy(&y, b + l, 8);
+    const uint64_t d = x ^ y;
+    if (d) return l + (__builtin_ctzll(d) >> 3);
+    l += 8;
+  }
+  while (l < cap && a[l] == b[l]) ++l;
+  return l;
+}
+
+struct LzFinder {
+  std::vector<int32_t> head, prev;
+  const uint8_t* in;
+  int64_t n;
+
+  LzFinder(const uint8_t* i, int64_t len) : in(i), n(len) {
+    head.assign(1 << LZ_HASH_BITS, -1);
+    prev.assign((size_t)std::max<int64_t>(n, 1), -1);
+  }
+
+  void insert(int64_t i) {
+    if (i + 8 > n) return;   // hash reads 8 bytes
+    const uint32_t h = lz_hash4(in + i);
+    if (head[h] == (int32_t)i) return;   // lazy path may re-insert i:
+    prev[(size_t)i] = head[h];           // a self-link would loop chains
+    head[h] = (int32_t)i;
+  }
+
+  // best (len, dist) at i; returns len (0 when no profitable match).
+  // Profit filter: a short far match costs more bits than the literals it
+  // replaces on low-entropy streams (order-1 DNA literals are ~2 bits).
+  int find(int64_t i, uint32_t* dist_out) {
+    if (i + 8 > n) return 0;
+    const int64_t cap = std::min<int64_t>(n - i, LZ_MAX_MATCH);
+    int best = 7;            // short matches lose to ~2-bit DNA literals:
+    uint32_t bdist = 0;      // accept len >= 16, or len >= 8 nearby
+    int32_t j = head[lz_hash4(in + i)];
+    int chain = LZ_MAX_CHAIN;
+    while (j >= 0 && chain-- > 0) {
+      if (in[j + best] == in[i + best]) {
+        const int l = lz_match_len(in + j, in + i, cap);
+        if (l > best && (l >= 16 || (l >= 11 && i - j < 1024))) {
+          best = l;
+          bdist = uint32_t(i - j);
+          if (l >= 128) break;
+        }
+      }
+      j = prev[(size_t)j];
+    }
+    if (best < 8) return 0;
+    *dist_out = bdist;
+    return best;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// out must hold n + n/8 + 1024 bytes. Returns the payload size.
+int64_t ns_lz_compress(const uint8_t* in, int64_t n, uint8_t* out) {
+  std::memcpy(out, &n, 4);
+  std::vector<uint8_t> coded;
+  coded.reserve((size_t)(n / 2 + 4096));
+  {
+    RangeEncoder rc(coded);
+    LzModel* m = new LzModel();
+    LzFinder f(in, n);
+    uint32_t rep0 = 1;
+    int prev_match = 0;
+    uint8_t prev_byte = 0;
+    int64_t i = 0;
+    uint32_t ndist = 0;
+    int nlen = 0;
+    int64_t nb_lit = 0;   // accelerating skip: long literal runs mean the
+                          // data is match-free here, so probe the finder
+                          // less often (every position is still inserted)
+    while (i < n) {
+      ndist = 0;
+      nlen = 0;
+      const int64_t skip = 1 + (nb_lit >> 7);
+      if (skip <= 1 || (i % skip) == 0) nlen = f.find(i, &ndist);
+      // prefer the rep0 distance when it is (nearly) as long
+      int rlen = 0;
+      if (rep0 <= (uint32_t)i) {
+        const int64_t cap = std::min<int64_t>(n - i, LZ_MAX_MATCH);
+        rlen = lz_match_len(in + i - rep0, in + i, cap);
+      }
+      bool use_rep = rlen >= LZ_MIN_MATCH && rlen + 1 >= nlen;
+      int len = use_rep ? rlen : nlen;
+      if (len >= LZ_MIN_MATCH && !use_rep && i + 1 < n) {
+        // one-step lazy: a longer match at i+1 wins
+        f.insert(i);
+        uint32_t d1 = 0;
+        const int l1 = f.find(i + 1, &d1);
+        if (l1 > len) {
+          rc.encode(m->is_match[prev_match], 0);
+          tree_encode<8>(rc, m->lit[prev_byte], in[i]);
+          prev_byte = in[i];
+          prev_match = 0;
+          ++i;
+          nb_lit = 0;
+          len = l1;
+          ndist = d1;
+          // fall through to emit the (i+1) match below
+        }
+        if (len >= LZ_MIN_MATCH) {
+          rc.encode(m->is_match[prev_match], 1);
+          rc.encode(m->is_rep[prev_match], 0);
+          const uint32_t l = uint32_t(len - LZ_MIN_MATCH);
+          len_encode(rc, *m, 0, l);
+          dist_encode(rc, *m, l < 3 ? l : 3, ndist);
+          rep0 = ndist;
+          for (int64_t x = i; x < i + len; ++x) f.insert(x);
+          i += len;
+          nb_lit = 0;
+          prev_byte = in[i - 1];
+          prev_match = 1;
+          continue;
+        }
+      }
+      if (len >= LZ_MIN_MATCH) {
+        rc.encode(m->is_match[prev_match], 1);
+        if (use_rep) {
+          rc.encode(m->is_rep[prev_match], 1);
+          len_encode(rc, *m, 1, uint32_t(len - LZ_MIN_MATCH));
+        } else {
+          rc.encode(m->is_rep[prev_match], 0);
+          const uint32_t l = uint32_t(len - LZ_MIN_MATCH);
+          len_encode(rc, *m, 0, l);
+          dist_encode(rc, *m, l < 3 ? l : 3, ndist);
+          rep0 = ndist;
+        }
+        for (int64_t x = i; x < i + len; ++x) f.insert(x);
+        i += len;
+        nb_lit = 0;
+        prev_byte = in[i - 1];
+        prev_match = 1;
+      } else {
+        rc.encode(m->is_match[prev_match], 0);
+        tree_encode<8>(rc, m->lit[prev_byte], in[i]);
+        prev_byte = in[i];
+        f.insert(i);
+        ++i;
+        ++nb_lit;
+        prev_match = 0;
+      }
+    }
+    rc.flush();
+    delete m;
+  }
+  if ((int64_t)coded.size() >= n) {     // incompressible: store
+    out[4] = 0;
+    std::memcpy(out + 5, in, (size_t)n);
+    return n + 5;
+  }
+  out[4] = 1;
+  std::memcpy(out + 5, coded.data(), coded.size());
+  return (int64_t)coded.size() + 5;
+}
+
+int64_t ns_lz_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
+  uint32_t n32;
+  std::memcpy(&n32, in, 4);
+  const int64_t n = n32;
+  if (in[4] == 0) {
+    std::memcpy(out, in + 5, (size_t)n);
+    return n;
+  }
+  RangeDecoder rc(in + 5, in_n - 5);
+  LzModel* m = new LzModel();
+  uint32_t rep0 = 1;
+  int prev_match = 0;
+  uint8_t prev_byte = 0;
+  int64_t i = 0;
+  while (i < n) {
+    if (!rc.decode(m->is_match[prev_match])) {
+      const uint8_t b = (uint8_t)tree_decode<8>(rc, m->lit[prev_byte]);
+      out[i++] = b;
+      prev_byte = b;
+      prev_match = 0;
+      continue;
+    }
+    uint32_t dist, len;
+    if (rc.decode(m->is_rep[prev_match])) {
+      dist = rep0;
+      len = len_decode(rc, *m, 1) + LZ_MIN_MATCH;
+    } else {
+      const uint32_t l = len_decode(rc, *m, 0);
+      len = l + LZ_MIN_MATCH;
+      dist = dist_decode(rc, *m, l < 3 ? l : 3);
+      rep0 = dist;
+    }
+    const uint8_t* src = out + (i - (int64_t)dist);
+    for (uint32_t x = 0; x < len; ++x) out[i + x] = src[x];
+    i += len;
+    prev_byte = out[i - 1];
+    prev_match = 1;
+  }
+  delete m;
   return n;
 }
 

@@ -1258,7 +1258,8 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         cfg.seed_kmer_size, cfg.seed_window, cfg.max_chain_iter,
         cfg.band_width, int(cfg.max_edit_frac * 1000), cfg.min_overlap,
         cfg.align_batch, cfg.frontier_target, cfg.edge_threshold,
-        max(cfg.kmer_size, cfg.min_read_len_for_sketch), 8,
+        max(cfg.kmer_size, cfg.min_read_len_for_sketch),
+        cfg.max_place_attempts,
         min(cfg.band_width_min, cfg.band_width),
     ], dtype=np.int64)
     adj_off = np.ascontiguousarray(graph["adj_off"], np.int64)

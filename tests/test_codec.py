@@ -64,3 +64,52 @@ def test_nsbwt_beats_bz2_on_bench_streams():
         ns = len(be.compress("nsbwt", data))
         bz = len(bz2.compress(data, 9))
         assert ns <= bz * 1.02, (name, ns, bz)
+
+
+def test_nslz_roundtrip_structured():
+    """From-scratch LZ77 + range coder (native/codec.cpp ns_lz_*, the
+    fast-lzma2 role)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.choice(list(b"ACGT"), p=[0.3, 0.2, 0.2, 0.3], size=1 << 18)
+        .astype(np.uint8).tobytes(),
+        b"ACGTACGGTTA" * 20000,
+        b"\x00" * 100000,
+        rng.integers(0, 256, 1 << 17).astype(np.uint8).tobytes(),
+        b"",
+        b"A",
+        bytes(range(256)) * 40,
+    ]
+    for b in cases:
+        c = be.compress("nslz", b)
+        assert be.decompress("nslz", c) == b
+
+
+def test_nslz_within_2pct_of_lzma_on_owned_streams():
+    """The VERDICT acceptance bar for the LZMA-class stage: within 2% of
+    stdlib lzma preset-6 on the streams it owns (docs/CODECS.md measures
+    the real bench streams; this guards the shape)."""
+    import lzma
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # base-shaped: DNA codes with mild structure
+    base = rng.choice(list(b"ACGT"), p=[0.3, 0.2, 0.2, 0.3],
+                      size=1 << 19).astype(np.uint8).tobytes()
+    # pos-shaped: LEB128 varints of geometric run lengths
+    runs = rng.geometric(1.0 / 40, size=1 << 17)
+    out = bytearray()
+    for v in runs:
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    pos = bytes(out)
+    for name, data in (("base", base), ("pos", pos)):
+        ns = len(be.compress("nslz", data))
+        lz = len(lzma.compress(data, preset=6))
+        assert ns <= lz * 1.02, (name, ns, lz)
