@@ -221,6 +221,11 @@ struct Engine {
     std::vector<Item> queue;            // LIFO (pop from back)
     std::vector<Contig> done;
     std::unordered_map<int64_t, Anchors> mz_cache;
+    int64_t mz_bytes = 0;               // cache budget accounting: entries
+                                        // for reads that never get accepted
+                                        // (place-fail, re-queues) would pin
+                                        // ~0.5 B/base forever at scale
+    static constexpr int64_t MZ_CACHE_CAP = 2LL << 30;   // 2 GB
     int64_t next_cid = 0;
     int64_t stat_not_claimed = 0, stat_aligned_ok = 0;
     double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
@@ -275,10 +280,16 @@ struct Engine {
         return a;
     }
 
+    static int64_t anchors_bytes(const Anchors& a) {
+        return (int64_t)a.h.size() * (8 + 8 + 1);
+    }
+
     const Anchors& forward_minimizers(int64_t rid) {
         auto it = mz_cache.find(rid);
         if (it != mz_cache.end()) return it->second;
-        return mz_cache.emplace(rid, build_minimizers(rid)).first->second;
+        Anchors a = build_minimizers(rid);
+        mz_bytes += anchors_bytes(a);
+        return mz_cache.emplace(rid, std::move(a)).first->second;
     }
 
     void enqueue_children(Contig& st, int64_t rid) {
@@ -543,7 +554,11 @@ struct Engine {
                                      std::vector<uint8_t>& ops,
                                      int64_t tstart_abs, int64_t tend_abs) {
         accept(st, p, ops, tstart_abs, tend_abs);  // needs the cache entry
-        mz_cache.erase(p.item.rid);
+        auto it = mz_cache.find(p.item.rid);
+        if (it != mz_cache.end()) {
+            mz_bytes -= anchors_bytes(it->second);
+            mz_cache.erase(it);
+        }
     }
 
     struct BatchState {
@@ -599,12 +614,24 @@ struct Engine {
                     if (!mz_cache.count(it.rid) && seen.insert(it.rid).second)
                         need.push_back(it.rid);
             }
+            if (mz_bytes > MZ_CACHE_CAP) {
+                // over budget: drop everything (entries rebuild on demand;
+                // a full reset amortizes better than per-entry LRU here)
+                mz_cache.clear();
+                mz_bytes = 0;
+                std::unordered_set<int64_t> seen2;
+                need.clear();
+                for (const Item& it : picked)
+                    if (seen2.insert(it.rid).second) need.push_back(it.rid);
+            }
             std::vector<Anchors> built((size_t)need.size());
             #pragma omp parallel for schedule(dynamic, 8)
             for (int64_t x = 0; x < (int64_t)need.size(); ++x)
                 built[(size_t)x] = build_minimizers(need[(size_t)x]);
-            for (size_t x = 0; x < need.size(); ++x)
+            for (size_t x = 0; x < need.size(); ++x) {
+                mz_bytes += anchors_bytes(built[x]);
                 mz_cache.emplace(need[x], std::move(built[x]));
+            }
             placed.assign(picked.size(), Placed());
             okv.assign(picked.size(), 0);
             #pragma omp parallel for schedule(dynamic, 4)
