@@ -118,6 +118,10 @@ def _regime_ratios(work: str) -> dict:
                            p_sub=0.036),
         "short_reads": dict(genome_len=200_000, num_reads=25_000,
                             mean_len=97),
+        # hs2-like read lengths (the reference's headline dataset averages
+        # 24.5 kb, logs/2022/hs2.log)
+        "long_reads": dict(genome_len=1_200_000, num_reads=1_500,
+                           mean_len=24_000),
     }
     for name, kw in regimes.items():
         try:

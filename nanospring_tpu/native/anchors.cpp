@@ -208,26 +208,47 @@ int64_t ns_accept_anchors(
     uint64_t* oh, int64_t* otp, uint8_t* of)
 {
     if (mlen <= 0) return 0;
-    std::vector<uint8_t> qop((size_t)mlen, 'i');
-    std::vector<int64_t> q2t((size_t)mlen, 0);
-    int64_t tcur = tstart_abs, q = 0;
-    for (int64_t x = 0; x < ops_len && q < mlen; ++x) {
-        const uint8_t o = ops[x];
-        if (o != 'd') {  // consumes query
-            qop[(size_t)q] = o;
-            q2t[(size_t)q] = tcur;
-            ++q;
+    // Compressed qpos->(op, tpos) map: one segment per run of query-
+    // consuming ops (tapes are ~97% '=' runs, and only ~anchor-count
+    // positions are probed, so per-base arrays were mostly wasted fills).
+    struct Seg { int64_t q0, t0; uint8_t op; };
+    std::vector<Seg> segs;
+    segs.reserve(64);
+    std::vector<int64_t> seg_q;
+    {
+        int64_t tcur = tstart_abs, q = 0, x = 0;
+        while (x < ops_len && q < mlen) {
+            const uint8_t o = ops[x];
+            int64_t run = 1;
+            // coalesce runs of the same op kind
+            while (x + run < ops_len && ops[x + run] == o) ++run;
+            if (o == 'd') {
+                tcur += run;
+            } else {
+                segs.push_back({q, tcur, o});
+                q += run;
+                if (o != 'i') tcur += run;
+            }
+            x += run;
         }
-        if (o != 'i') ++tcur;  // consumes target
+        seg_q.reserve(segs.size() + 1);
+        for (const Seg& s : segs) seg_q.push_back(s.q0);
+        seg_q.push_back(q);   // end sentinel
     }
     int64_t m = 0;
     for (int64_t a = 0; a < n; ++a) {
         int64_t pos = is_rc ? (mlen - k) - p[a] : p[a];
         if (pos < 0) pos = 0;
         if (pos > mlen - 1) pos = mlen - 1;
-        if (qop[(size_t)pos] == 'i') continue;
+        // last segment with q0 <= pos
+        const auto it = std::upper_bound(seg_q.begin(), seg_q.end() - 1, pos);
+        const int64_t si = (int64_t)(it - seg_q.begin()) - 1;
+        if (si < 0) continue;                        // before first segment
+        if (pos >= seg_q[(size_t)si + 1]) continue;  // past the tape
+        const Seg& s = segs[(size_t)si];
+        if (s.op == 'i') continue;
         oh[m] = h[a];
-        otp[m] = q2t[(size_t)pos];
+        otp[m] = s.t0 + (pos - s.q0);
         of[m] = is_rc ? (uint8_t)(!f[a]) : f[a];
         ++m;
     }
