@@ -204,6 +204,10 @@ namespace {
 // NS_ENGINE_DEBUG diagnostics: [0] -4 chain<2, [1] -4 head/tail too deep,
 // [2] head -1, [3] middle -1, [4] tail -1, [5] budget -1, [6] ok
 std::atomic<int64_t> g_stitch_stats[8];
+// profile counters: [0] pairs, [1] verify bases, [2] seg calls,
+// [3] seg cells, [4] chain pins total, [5] head/tail seg cells,
+// [6] in-band filter anchors scanned
+std::atomic<int64_t> g_stitch_prof[8];
 
 struct SegScratch {
     std::vector<int32_t> r0, r1;
@@ -227,6 +231,8 @@ int32_t seg_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 {
     const int64_t width = dhi - dlo + 1;
     if (width <= 0) return -1;
+    g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
+    g_stitch_prof[3].fetch_add(width * m, std::memory_order_relaxed);
     SegScratch& s = g_seg;
     s.r0.assign((size_t)(width + 2), INF);
     s.r1.assign((size_t)(width + 2), INF);
@@ -376,6 +382,155 @@ void stitch_dump(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 // max_cost is the same admission budget ns_banded_align enforces.
 // Returns cost >= 0, -1 on reject (budget exceeded / band broken), or
 // -4 when the chain is unusable and the caller should run full banded DP.
+// Unit-cost wavefront segment aligner (Myers 1986 O(ND) furthest-reaching
+// diagonals; the same idea as WFA for unit costs). Replaces the banded
+// area DP for the stitch gap cores: cost scales with edits^2 + snake
+// bytes instead of band*len cells (the cores carry 1-5 edits, so this is
+// ~100x fewer operations; measured 609M DP cells -> ~2M wavefront steps
+// on the 60 Mb bench). State space is restricted to the same diagonal
+// band [dlo, dhi], so the optimal cost (and the accept/reject decision)
+// is identical to seg_align's; only tie-broken op order can differ.
+// Falls back to seg_align when the wavefront depth exceeds WFA_DCAP
+// (degenerate segments where the area DP is cheaper anyway).
+constexpr int32_t WFA_DCAP = 48;
+
+struct WfaScratch {
+    std::vector<int32_t> fr;      // (d+1) rows x width furthest-i
+    std::vector<uint8_t> rops;
+};
+thread_local WfaScratch g_wfa;
+
+int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+                int64_t dlo, int64_t dhi, bool free_start, bool free_end,
+                int32_t budget,
+                uint8_t* ops_out, int64_t ops_cap, int64_t* len,
+                int64_t* ts, int64_t* te)
+{
+    const int64_t width = dhi - dlo + 1;
+    if (width <= 0) return -1;
+    const int32_t dcap = budget < WFA_DCAP ? budget : WFA_DCAP;
+    if ((int64_t)dcap * 2 + 2 >= width + m + n) {
+        // tiny segment: fall straight through to the area DP
+        return seg_align(t, n, q, m, dlo, dhi, free_start, free_end,
+                         budget, ops_out, ops_cap, len, ts, te);
+    }
+    g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
+    WfaScratch& s = g_wfa;
+    constexpr int32_t NEG = INT32_MIN / 2;
+    if ((int64_t)s.fr.size() < (int64_t)(dcap + 1) * width)
+        s.fr.resize((size_t)((dcap + 1) * width));
+    int32_t* f0 = s.fr.data();
+
+    // snake: advance i while in range and bases match (j = i + k)
+    auto snake = [&](int64_t i, int64_t k) -> int64_t {
+        const uint8_t* tp = t + k;
+        while (i < m && i + k < n && tp[i] == q[i]) ++i;
+        return i;
+    };
+
+    // d = 0 seeds: start at i=0, j=k (free start: any in-band j >= 0;
+    // pinned: j == 0 only)
+    const int64_t kend = n - m;              // pinned-end diagonal
+    bool done = false;
+    int64_t done_k = 0;
+    int32_t done_d = 0;
+    for (int64_t x = 0; x < width; ++x) f0[x] = NEG;
+    if (free_start) {
+        for (int64_t k = dlo < 0 ? 0 : dlo; k <= dhi && k <= n; ++k)
+            f0[k - dlo] = (int32_t)snake(0, k);
+    } else if (dlo <= 0 && 0 <= dhi) {
+        f0[-dlo] = (int32_t)snake(0, 0);
+    }
+    auto at_end = [&](int64_t k, int32_t i) -> bool {
+        if (i < m) return false;
+        if (free_end) return m + k <= n;
+        return k == kend;
+    };
+    for (int64_t x = 0; x < width; ++x)
+        if (f0[x] >= 0 && at_end(x + dlo, f0[x])) {
+            done = true; done_k = x + dlo; done_d = 0; break;
+        }
+    int32_t d = 0;
+    while (!done) {
+        if (d >= dcap) {
+            if (budget > WFA_DCAP)   // genuine deep segment: area DP
+                return seg_align(t, n, q, m, dlo, dhi, free_start, free_end,
+                                 budget, ops_out, ops_cap, len, ts, te);
+            return -1;               // budget exhausted: reject
+        }
+        const int32_t* pv = s.fr.data() + (int64_t)d * width;
+        int32_t* cv = s.fr.data() + (int64_t)(d + 1) * width;
+        d += 1;
+        g_stitch_prof[3].fetch_add(width, std::memory_order_relaxed);
+        for (int64_t x = 0; x < width; ++x) {
+            const int64_t k = x + dlo;
+            // candidates individually validity-checked (0 <= i <= m,
+            // j = i + k <= n); all reachable points already have j >= 0
+            int32_t best = NEG;
+            const int32_t ps = pv[x];                              // sub
+            if (ps >= 0 && ps < m && ps + 1 + k <= n && ps + 1 > best)
+                best = ps + 1;
+            if (x + 1 < width) {                                   // query-only
+                const int32_t pi = pv[x + 1];
+                if (pi >= 0 && pi < m && pi + 1 > best) best = pi + 1;
+            }
+            if (x > 0) {                                           // target-only
+                const int32_t pd = pv[x - 1];
+                if (pd >= 0 && pd + k <= n && pd > best) best = pd;
+            }
+            if (best < 0) { cv[x] = NEG; continue; }
+            best = (int32_t)snake(best, k);
+            cv[x] = best;
+            if (!done && at_end(k, best)) { done = true; done_k = k; done_d = d; }
+        }
+    }
+
+    // traceback through the stored wavefronts
+    s.rops.clear();
+    int64_t k = done_k;
+    int64_t i = s.fr[(size_t)((int64_t)done_d * width + (k - dlo))];
+    for (int32_t dd = done_d; dd > 0; --dd) {
+        const int32_t* pv = s.fr.data() + (int64_t)(dd - 1) * width;
+        const int64_t x = k - dlo;
+        // same validity rules as the forward pass
+        int32_t isub = NEG, iins = NEG, idel = NEG;
+        const int32_t ps = pv[x];
+        if (ps >= 0 && ps < m && ps + 1 + k <= n) isub = ps + 1;
+        if (x + 1 < width) {
+            const int32_t pi = pv[x + 1];
+            if (pi >= 0 && pi < m) iins = pi + 1;
+        }
+        if (x > 0) {
+            const int32_t pd = pv[x - 1];
+            if (pd >= 0 && pd + k <= n) idel = pd;
+        }
+        int32_t i0 = isub;                   // prefer 's' (ratio: subs beat
+        if (idel > i0) i0 = idel;            // indels in the edit streams)
+        if (iins > i0) i0 = iins;
+        for (int64_t y = i; y > i0; --y) s.rops.push_back('=');
+        if (i0 == isub) {
+            s.rops.push_back('s');
+            i = isub - 1;
+        } else if (i0 == idel) {
+            s.rops.push_back('d');
+            i = idel;
+            k -= 1;
+        } else {
+            s.rops.push_back('i');
+            i = iins - 1;
+            k += 1;
+        }
+    }
+    for (int64_t y = i; y > 0; --y) s.rops.push_back('=');
+    const int64_t j0 = k;                    // start j at i == 0
+    if (*len + (int64_t)s.rops.size() > ops_cap) return -1;
+    for (int64_t x = (int64_t)s.rops.size() - 1; x >= 0; --x)
+        ops_out[(*len)++] = s.rops[(size_t)x];
+    *ts = j0;
+    *te = free_end ? (m + done_k) : n;
+    return done_d;
+}
+
 int32_t ns_stitch_align(
     const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     const int64_t* aq, const int64_t* at, int64_t A,
@@ -400,6 +555,8 @@ int32_t ns_stitch_align(
         ft_.push_back(tx);
     }
     const int64_t F = (int64_t)fq_.size();
+    g_stitch_prof[0].fetch_add(1, std::memory_order_relaxed);
+    g_stitch_prof[6].fetch_add(A, std::memory_order_relaxed);
     if (F < 2) { g_stitch_stats[0]++; return -4; }
     // longest monotone chain with bounded diagonal jumps (the greedy
     // keep-first rule let one outlier pin poison the whole chain; this is
@@ -432,6 +589,7 @@ int32_t ns_stitch_align(
     std::reverse(cq.begin(), cq.end());
     std::reverse(ct.begin(), ct.end());
     const int64_t C = (int64_t)cq.size();
+    g_stitch_prof[4].fetch_add(C, std::memory_order_relaxed);
     if (C < 2) { g_stitch_stats[1]++; return -4; }
 
     int64_t len = 0;
@@ -447,7 +605,7 @@ int32_t ns_stitch_align(
         // if the query head overhangs the target start (n1 < hq), the path
         // climbs j == 0 with leading inserts: j - i spans up to 0 there
         int64_t sts = 0, ste = 0;
-        const int32_t c1 = seg_align(
+        const int32_t c1 = wfa_seg(
             t + ts0, n1, q, hq,
             (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
             /*free_start=*/true,
@@ -472,6 +630,7 @@ int32_t ns_stitch_align(
             const uint8_t* tp = t + t0;
             const uint8_t* qp = q + q0;
             int32_t mc = 0;
+            g_stitch_prof[1].fetch_add(mq, std::memory_order_relaxed);
             for (int64_t y = 0; y < mq; ++y) mc += (int32_t)(tp[y] != qp[y]);
             if (mc <= SUB_MAX) {
                 if (len + mq > ops_cap) return -1;
@@ -500,7 +659,7 @@ int32_t ns_stitch_align(
             const int64_t pad =
                 std::min<int64_t>(W, 4 + std::max(cq1, ct1) / 24);
             int64_t sts = 0, ste = 0;
-            const int32_t c1 = seg_align(
+            const int32_t c1 = wfa_seg(
                 tp + pre, ct1, qp + pre, cq1,
                 std::min<int64_t>(0, dn) - pad,
                 std::max<int64_t>(0, dn) + pad,
@@ -522,7 +681,7 @@ int32_t ns_stitch_align(
         // if the query tail overhangs the target end (n1 < tq), the path
         // descends j == n1 with trailing inserts: j - i reaches n1 - tq
         int64_t sts = 0, ste = 0;
-        const int32_t c1 = seg_align(
+        const int32_t c1 = wfa_seg(
             t + ct.back(), n1, q + cq.back(), tq,
             std::min<int64_t>(0, n1 - tq) - pad, pad,
             /*free_start=*/false, /*free_end=*/true,
@@ -548,6 +707,11 @@ int32_t ns_stitch_align(
 void ns_stitch_stats(int64_t* out8)
 {
     for (int i = 0; i < 8; ++i) out8[i] = g_stitch_stats[i].load();
+}
+
+void ns_stitch_prof(int64_t* out8)
+{
+    for (int i = 0; i < 8; ++i) out8[i] = g_stitch_prof[i].load();
 }
 
 // Batch interface: pairs share flat code buffers. Returns number of pairs

@@ -29,6 +29,8 @@
 #include <unordered_set>
 #include <vector>
 
+#include "polish_core.h"
+
 namespace {
 inline double now_s() {
     return std::chrono::duration<double>(
@@ -113,7 +115,7 @@ namespace {
 enum Param {
     P_SEED_K = 0, P_SEED_W, P_MAX_CHAIN, P_BAND, P_MAXCOST_KB,
     P_MIN_OVERLAP, P_ALIGN_BATCH, P_FRONTIER, P_EDGE_THR, P_MIN_LEN,
-    P_MAX_ATTEMPTS, P_BAND_MIN, P_COUNT
+    P_MAX_ATTEMPTS, P_BAND_MIN, P_POLISH, P_COUNT
 };
 
 struct Anchors {
@@ -229,6 +231,8 @@ struct Engine {
     int64_t next_cid = 0;
     int64_t stat_not_claimed = 0, stat_aligned_ok = 0;
     double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
+    double t_dp_stitch = 0, t_dp_full = 0, t_dp_resize = 0;
+    double t_polish = 0;
     int64_t n_dp = 0, dp_bases = 0;
     int64_t n_stitch_bases = 0, n_full_dp_bases = 0;
     int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
@@ -852,13 +856,16 @@ struct Engine {
         if (bs.batch.empty()) return;
         std::vector<Placed>& batch = bs.batch;
         int64_t stitch_bases = 0, full_dp_bases = 0;
+        double s_stitch = 0, s_full = 0, s_resize = 0;
         #pragma omp parallel for schedule(dynamic, 2) \
-            reduction(+:stitch_bases, full_dp_bases)
+            reduction(+:stitch_bases, full_dp_bases, s_stitch, s_full, s_resize)
         for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
             Placed& p = batch[(size_t)b];
             const int64_t m = p.qhi - p.qlo;
             const int64_t ops_cap = 2 * m + 2 * p.band + 2;
+            double tt = now_s();
             p.ops.resize((size_t)ops_cap);
+            s_resize += now_s() - tt;
             const int32_t max_cost =
                 (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
             // stitched first: verify anchor-to-anchor runs, DP only the
@@ -867,26 +874,33 @@ struct Engine {
             // so the exact-DP admission decision is preserved.
             p.cost = -4;
             if (!p.item.full_band && (int64_t)p.aq.size() >= 2) {
+                tt = now_s();
                 p.cost = ns_stitch_align(
                     p.tgt.data(), (int64_t)p.tgt.size(),
                     p.codes.data() + p.qlo, m,
                     p.aq.data(), p.at.data(), (int64_t)p.aq.size(),
                     p.d0_win, (int32_t)p.band, max_cost,
                     p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                s_stitch += now_s() - tt;
                 stitch_bases += m;
             }
             if (p.cost == -4) {
+                tt = now_s();
                 p.cost = ns_banded_align(
                     p.tgt.data(), (int64_t)p.tgt.size(),
                     p.codes.data() + p.qlo, m,
                     p.d0_win, (int32_t)p.band, max_cost,
                     p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
+                s_full += now_s() - tt;
                 full_dp_bases += m;
             }
             if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
         }
         n_stitch_bases += stitch_bases;
         n_full_dp_bases += full_dp_bases;
+        t_dp_stitch += s_stitch;
+        t_dp_full += s_full;
+        t_dp_resize += s_resize;
     }
 
     void settle(BatchState& bs) {
@@ -1004,6 +1018,40 @@ void* ns_engine_run(
         e->comp_active[comp] = 0;
     }
     e->run();
+    if (e->prm[P_POLISH]) {
+        // in-engine consensus polish (subs -> indels -> subs, the same
+        // pass order as the Python batch path): contigs are independent,
+        // members' oriented codes are re-unpacked per contig and dropped
+        // immediately -- no flatten/fetch round trip through Python.
+        const double tp0 = now_s();
+        std::vector<Contig>& done = e->done;
+        #pragma omp parallel for schedule(dynamic, 1)
+        for (int64_t c = 0; c < (int64_t)done.size(); ++c) {
+            Contig& st = done[(size_t)c];
+            if (st.members.size() < 3) continue;
+            std::vector<uint8_t> cons(st.cons(), st.cons() + st.len);
+            std::vector<std::vector<uint8_t>> codes(st.members.size());
+            std::vector<nsp::Member> pm(st.members.size());
+            for (size_t k = 0; k < st.members.size(); ++k) {
+                Member& m = st.members[k];
+                e->unpack_oriented(m.rid, m.strand, codes[k]);
+                pm[k].ops = std::move(m.ops);
+                pm[k].tstart = m.tstart - st.lo;
+                pm[k].codes = codes[k].data();
+            }
+            nsp::polish_subs(cons, pm);
+            nsp::polish_indels(cons, pm);
+            nsp::polish_subs(cons, pm);
+            st.buf.assign(cons.begin(), cons.end());
+            st.start = 0;
+            st.len = (int64_t)cons.size();
+            for (size_t k = 0; k < st.members.size(); ++k) {
+                st.members[k].ops = std::move(pm[k].ops);
+                st.members[k].tstart = st.lo + pm[k].tstart;
+            }
+        }
+        e->t_polish = now_s() - tp0;
+    }
     if (std::getenv("NS_ENGINE_DEBUG")) {
         std::fprintf(stderr,
                      "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb: "
@@ -1015,6 +1063,11 @@ void* ns_engine_run(
                      e->t_apply, (long long)e->n_retry,
                      (long long)e->n_reject, (long long)e->n_claimed_skip,
                      (long long)e->n_place_fail);
+        std::fprintf(stderr,
+                     "[engine] dp split: stitch %.2fs full %.2fs "
+                     "resize %.2fs | polish %.2fs\n",
+                     e->t_dp_stitch, e->t_dp_full, e->t_dp_resize,
+                     e->t_polish);
     }
     int64_t nm = 0, ct = 0, ot = 0;
     for (const Contig& c : e->done) {

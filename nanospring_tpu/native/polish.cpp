@@ -20,6 +20,8 @@
 #include <cstring>
 #include <vector>
 
+#include "polish_core.h"
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -56,13 +58,7 @@ inline int64_t skip_eq(const uint8_t* p, int64_t x, int64_t n) {
     return x;
 }
 
-struct Member {
-    std::vector<uint8_t> ops;
-    int64_t tstart;                 // relative to contig cons[0]
-    int64_t tend = 0;               // tstart + consumed target (set by the
-                                    // subs vote scan)
-    const uint8_t* codes;           // oriented query codes
-};
+using nsp::Member;
 
 struct ContigResult {
     std::vector<uint8_t> cons;
@@ -74,8 +70,8 @@ struct BatchResult {
     std::vector<ContigResult> contigs;
 };
 
-void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms);
-void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms);
+using nsp::polish_subs;
+using nsp::polish_indels;
 
 // one contig: load -> subs -> indels -> subs -> store
 void polish_one(int64_t c,
@@ -115,7 +111,9 @@ void polish_one(int64_t c,
 // rewritten against the live consensus, so the invariant holds), so '='
 // runs become a coverage difference array and only the sparse 's' ops are
 // voted individually. The rewrite touches only changed columns.
-void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
+}  // namespace
+
+void nsp::polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
     if (ms.size() < 3) return;
     const int64_t L = (int64_t)cons.size();
     if (L == 0) return;
@@ -245,7 +243,7 @@ void polish_subs(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
 }
 
 // deletion + insertion column polish; mutates cons, ops, tstart
-void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
+void nsp::polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
     if (ms.size() < 3) return;
 
     // --- deletions --------------------------------------------------------
@@ -499,8 +497,6 @@ void polish_indels(std::vector<uint8_t>& cons, std::vector<Member>& ms) {
         cons.swap(nc);
     }
 }
-
-}  // namespace
 
 extern "C" {
 

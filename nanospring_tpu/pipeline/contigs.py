@@ -1261,6 +1261,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         max(cfg.kmer_size, cfg.min_read_len_for_sketch),
         cfg.max_place_attempts,
         min(cfg.band_width_min, cfg.band_width),
+        1 if cfg.polish_rounds > 0 else 0,   # in-engine polish
     ], dtype=np.int64)
     adj_off = np.ascontiguousarray(graph["adj_off"], np.int64)
     adj = np.ascontiguousarray(graph["dst"], np.int64)
@@ -1323,12 +1324,8 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
             mi += 1
         states.append(_ShimState(cons, members))
 
-    if cfg.polish_rounds > 0:
-        if not _polish_batch_native(states, store):
-            for st in states:
-                _polish_contig(st, store)
-                _polish_indels(st, store)
-                _polish_contig(st, store)
+    # polish already ran inside the engine (P_POLISH), on its own contig
+    # structures — no flatten/fetch round trip here
     if cfg.checks:
         check_contigs(states, store)
     return _emit_group(states, store)
