@@ -29,6 +29,10 @@
 #include <unordered_set>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include "polish_core.h"
 
 namespace {
@@ -857,7 +861,15 @@ struct Engine {
         std::vector<Placed>& batch = bs.batch;
         int64_t stitch_bases = 0, full_dp_bases = 0;
         double s_stitch = 0, s_full = 0, s_resize = 0;
-        #pragma omp parallel for schedule(dynamic, 2) \
+        // the DP worker thread runs concurrently with settle+collect on
+        // the main thread; leave one core to them or the two OpenMP
+        // barriers fight over the same cores (2-core hosts: DP team of 1)
+        int nt = 1;
+        #ifdef _OPENMP
+        nt = omp_get_max_threads() - 1;
+        if (nt < 1) nt = 1;
+        #endif
+        #pragma omp parallel for schedule(dynamic, 2) num_threads(nt) \
             reduction(+:stitch_bases, full_dp_bases, s_stitch, s_full, s_resize)
         for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
             Placed& p = batch[(size_t)b];
@@ -929,13 +941,7 @@ struct Engine {
         std::deque<int64_t> expand;
         for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s)
             expand.push_back(comp_ids[(size_t)s]);
-        // two-stage pipeline: DP of batch k (worker thread) overlaps
-        // settle(k-1) + collect(k+1) on the main thread. Placement sees a
-        // one-batch-stale consensus; the stale-clip retry rules in apply()
-        // cover it (same schedule as the Python wavefront's pipeline).
-        BatchState prev;
-        bool have_prev = false;
-        while (true) {
+        auto top_up = [&]() {
             while ((int64_t)queue.size() < prm[P_FRONTIER] && !expand.empty()) {
                 if (activate_next_in_comp(expand.front(), /*fresh_only=*/true)) {
                     expand.push_back(expand.front());
@@ -944,18 +950,32 @@ struct Engine {
                     expand.pop_front();
                 }
             }
-            BatchState cur;
-            collect(cur);
+        };
+        // two-stage pipeline: DP of batch k (worker thread) overlaps BOTH
+        // settle(k-1) and collect(k+1) on the main thread — the DP touches
+        // only its own snapshots, settle/collect never look at them.
+        // Placement sees a one-batch-stale consensus; the stale-clip retry
+        // rules in apply() cover it (same schedule as the Python
+        // wavefront's pipeline).
+        BatchState prev, cur;
+        bool have_prev = false;
+        top_up();
+        collect(cur);
+        bool have_cur = cur.any();
+        while (have_cur || have_prev) {
             std::thread dp;
-            const bool have_dp = !cur.batch.empty();
+            const bool have_dp = have_cur && !cur.batch.empty();
             if (have_dp) dp = std::thread([this, &cur] { dp_run(cur); });
             if (have_prev) settle(prev);
+            BatchState nxt;
+            top_up();
+            collect(nxt);
             if (have_dp) dp.join();
             prev = std::move(cur);
-            have_prev = prev.any();
-            if (!have_prev && queue.empty() && expand.empty()) break;
+            have_prev = have_cur;
+            cur = std::move(nxt);
+            have_cur = cur.any();
         }
-        if (have_prev) settle(prev);
         for (int64_t s = 0; s < (int64_t)comp_ids.size(); ++s) {
             while (activate_next_in_comp(comp_ids[(size_t)s], false))
                 while (!queue.empty()) run_batch();
