@@ -87,6 +87,13 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_minimizers.argtypes = [
                 u8p, i64, i32, i32, u64p, i64p, u8p,
             ]
+            lib.ns_minimizers_all.restype = None
+            lib.ns_minimizers_all.argtypes = [
+                u8p, i64p, i64p, i64, i32, i32, i32,
+                i64p, u64p, i64p, u8p,
+            ]
+            lib.ns_engine_set_premz.restype = None
+            lib.ns_engine_set_premz.argtypes = [i64p, u64p, i64p, u8p]
             lib.ns_gather_reads.restype = None
             lib.ns_gather_reads.argtypes = [
                 u8p, u8p, i64p, u8p, i64p, i64, u8p,

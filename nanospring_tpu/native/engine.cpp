@@ -90,7 +90,29 @@ TpuHook g_tpu;
 constexpr int32_t TPU_W = 63;        // kernel band semantics
 constexpr int64_t TPU_KOFF = 64;
 
+// Precomputed per-read minimizer tables (ns_minimizers_all): when set,
+// Engine::build_minimizers is a memcpy of the read's slice instead of a
+// fresh extraction+sort. Precomputed on host threads overlapped with the
+// TPU sketch wait (pipeline/contigs.py::_build_candidate_graph).
+struct PreMz {
+    const int64_t* off = nullptr;   // N+1 exclusive cumsum
+    const uint64_t* h = nullptr;
+    const int64_t* p = nullptr;
+    const uint8_t* f = nullptr;
+};
+PreMz g_premz;
+
 }  // namespace
+
+extern "C" void ns_engine_set_premz(
+    const int64_t* off, const uint64_t* h, const int64_t* p,
+    const uint8_t* f)
+{
+    g_premz.off = off;
+    g_premz.h = h;
+    g_premz.p = p;
+    g_premz.f = f;
+}
 
 extern "C" void ns_engine_set_tpu(
     void* fn, uint8_t* tpad, uint8_t* qbuf,
@@ -237,6 +259,7 @@ struct Engine {
     double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
     double t_dp_stitch = 0, t_dp_full = 0, t_dp_resize = 0;
     double t_polish = 0;
+    double t_placefn = 0;
     int64_t n_dp = 0, dp_bases = 0;
     int64_t n_stitch_bases = 0, n_full_dp_bases = 0;
     int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
@@ -271,8 +294,19 @@ struct Engine {
     }
 
     Anchors build_minimizers(int64_t rid) {
-        const int64_t len = lengths[rid];
         Anchors a;
+        if (g_premz.off) {
+            const int64_t b = g_premz.off[rid], e = g_premz.off[rid + 1];
+            const int64_t n = e - b;
+            a.h.resize((size_t)n);
+            a.p.resize((size_t)n);
+            a.f.resize((size_t)n);
+            std::memcpy(a.h.data(), g_premz.h + b, (size_t)n * 8);
+            std::memcpy(a.p.data(), g_premz.p + b, (size_t)n * 8);
+            std::memcpy(a.f.data(), g_premz.f + b, (size_t)n);
+            return a;
+        }
+        const int64_t len = lengths[rid];
         const int64_t cap = std::max<int64_t>(1, len - prm[P_SEED_K] + 1);
         a.h.resize((size_t)cap);
         a.p.resize((size_t)cap);
@@ -633,19 +667,23 @@ struct Engine {
                     if (seen2.insert(it.rid).second) need.push_back(it.rid);
             }
             std::vector<Anchors> built((size_t)need.size());
+            const double tmz = now_s();
             #pragma omp parallel for schedule(dynamic, 8)
             for (int64_t x = 0; x < (int64_t)need.size(); ++x)
                 built[(size_t)x] = build_minimizers(need[(size_t)x]);
+            t_mz += now_s() - tmz;
             for (size_t x = 0; x < need.size(); ++x) {
                 mz_bytes += anchors_bytes(built[x]);
                 mz_cache.emplace(need[x], std::move(built[x]));
             }
             placed.assign(picked.size(), Placed());
             okv.assign(picked.size(), 0);
+            const double tpl = now_s();
             #pragma omp parallel for schedule(dynamic, 4)
             for (int64_t x = 0; x < (int64_t)picked.size(); ++x)
                 okv[(size_t)x] =
                     place(picked[(size_t)x], placed[(size_t)x]) ? 1 : 0;
+            t_placefn += now_s() - tpl;
             for (size_t x = 0; x < picked.size(); ++x) {
                 const Item& it = picked[x];
                 if ((int64_t)batch.size() >= prm[P_ALIGN_BATCH]) {
@@ -1085,9 +1123,10 @@ void* ns_engine_run(
                      (long long)e->n_place_fail);
         std::fprintf(stderr,
                      "[engine] dp split: stitch %.2fs full %.2fs "
-                     "resize %.2fs | polish %.2fs\n",
+                     "resize %.2fs | polish %.2fs | mz %.2fs "
+                     "placefn %.2fs\n",
                      e->t_dp_stitch, e->t_dp_full, e->t_dp_resize,
-                     e->t_polish);
+                     e->t_polish, e->t_mz, e->t_placefn);
     }
     int64_t nm = 0, ct = 0, ot = 0;
     for (const Contig& c : e->done) {

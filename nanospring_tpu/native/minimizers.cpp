@@ -5,6 +5,12 @@
 // per-window FIRST minimum, consecutive duplicates deduplicated.
 
 #include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -87,6 +93,63 @@ int64_t ns_minimizers(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
     }
   }
   return n;
+}
+
+// Whole-dataset minimizer tables, prepared (sorted-by-hash, deduped) per
+// read — precomputed once on host threads (overlapped with the TPU sketch
+// wait) so the engine's per-candidate build_minimizers becomes a memcpy.
+// pass 0: counts[r] = prepared entry count per read.
+// pass 1: counts is the exclusive-cumsum offsets (N+1); h/p/f filled.
+extern int64_t ns_anchor_prepare(uint64_t*, int64_t*, uint8_t*, int64_t);
+
+void ns_minimizers_all(
+    const uint8_t* packed, const int64_t* offsets, const int64_t* lengths,
+    int64_t N, int32_t k, int32_t w, int32_t pass,
+    int64_t* counts, uint64_t* out_h, int64_t* out_p, uint8_t* out_f)
+{
+  // runs in a background thread overlapped with the TPU sketch wait:
+  // leave one core to the sketch feeder
+  int nt = 1;
+  #ifdef _OPENMP
+  nt = omp_get_max_threads() - 1;
+  if (nt < 1) nt = 1;
+  #endif
+  #pragma omp parallel num_threads(nt)
+  {
+    std::vector<uint8_t> codes;
+    std::vector<uint64_t> th;
+    std::vector<int64_t> tp;
+    std::vector<uint8_t> tf;
+    #pragma omp for schedule(dynamic, 64)
+    for (int64_t r = 0; r < N; ++r) {
+      const int64_t len = lengths[r];
+      const int64_t cap = len - k + 1;
+      if (cap <= 0) {
+        if (pass == 0) counts[r] = 0;
+        continue;
+      }
+      if ((int64_t)codes.size() < len) codes.resize((size_t)len + 64);
+      const uint8_t* src = packed + offsets[r];
+      for (int64_t i = 0; i < len; ++i)
+        codes[(size_t)i] = (src[i / 4] >> (2 * (i % 4))) & 3;
+      if ((int64_t)th.size() < cap) {
+        th.resize((size_t)cap);
+        tp.resize((size_t)cap);
+        tf.resize((size_t)cap);
+      }
+      int64_t n = ns_minimizers(codes.data(), len, k, w,
+                                th.data(), tp.data(), tf.data());
+      n = ns_anchor_prepare(th.data(), tp.data(), tf.data(), n);
+      if (pass == 0) {
+        counts[r] = n;
+      } else {
+        const int64_t off = counts[r];
+        std::memcpy(out_h + off, th.data(), (size_t)n * 8);
+        std::memcpy(out_p + off, tp.data(), (size_t)n * 8);
+        std::memcpy(out_f + off, tf.data(), (size_t)n);
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -1032,11 +1032,71 @@ class _Wavefront:
             st.closed = True
 
 
+def _precompute_minimizers(store, cfg: CompressConfig):
+    """Whole-dataset per-read minimizer tables (prepared/deduped), computed
+    on host threads. Launched in the background so it overlaps the TPU
+    sketch wait; the engine then memcpys slices instead of re-extracting
+    per candidate (~1s of the 60 Mb bench). Returns (off, h, p, f)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.get_lib()
+    N = store.num_reads
+    packed = store.packed
+    if not packed.flags["C_CONTIGUOUS"]:
+        packed = np.ascontiguousarray(packed)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    counts = np.zeros(N, np.int64)
+    args0 = (packed.ctypes.data_as(u8p), store.offsets.ctypes.data_as(i64p),
+             store.lengths.ctypes.data_as(i64p), ctypes.c_int64(N),
+             ctypes.c_int32(cfg.seed_kmer_size),
+             ctypes.c_int32(cfg.seed_window))
+    nullh = ctypes.cast(None, u64p)
+    null64 = ctypes.cast(None, i64p)
+    null8 = ctypes.cast(None, u8p)
+    lib.ns_minimizers_all(*args0, ctypes.c_int32(0),
+                          counts.ctypes.data_as(i64p), nullh, null64, null8)
+    off = np.zeros(N + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    total = int(off[-1])
+    h = np.empty(total, np.uint64)
+    p = np.empty(total, np.int64)
+    f = np.empty(total, np.uint8)
+    lib.ns_minimizers_all(*args0, ctypes.c_int32(1),
+                          off.ctypes.data_as(i64p), h.ctypes.data_as(u64p),
+                          p.ctypes.data_as(i64p), f.ctypes.data_as(u8p))
+    return off, h, p, f
+
+
+# minimizer tables cost ~0.7 B/base; precompute only when that fits
+# comfortably (the engine falls back to on-demand builds above this)
+PREMZ_MAX_BASES = int(float(os.environ.get("NSTPU_PREMZ_MAX_BASES", 8e9)))
+
+
 def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
                            report: bool) -> dict:
     """Sketch + hash-join + components + repetitive screen (the shared,
     device-side half of the pipeline)."""
     N = store.num_reads
+    premz_fut = None
+    if (not getattr(cfg, "disable_assembly", False)
+            and cfg.aligner != "python"
+            and 0 < store.total_bases <= PREMZ_MAX_BASES):
+        import concurrent.futures as _cf
+
+        _premz_pool = _cf.ThreadPoolExecutor(1)
+        try:
+            from .. import native as _nat
+
+            _nat.get_lib()
+            premz_fut = _premz_pool.submit(_precompute_minimizers, store, cfg)
+        except Exception:
+            premz_fut = None
+        finally:
+            _premz_pool.shutdown(wait=False)
 
     def _sketch_and_join(c: CompressConfig):
         sketches = compute_all_sketches(store, c, report)
@@ -1108,10 +1168,16 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
 
     rep = repetitive_screen(store, cfg)
     stats.repetitive = int(rep.sum())
+    premz = None
+    if premz_fut is not None:
+        try:
+            premz = premz_fut.result()
+        except Exception:
+            premz = None
     return {
         "adj_off": adj_off, "dst": dst, "comp_of": comp_of,
         "n_comp": n_comp, "comp_order": comp_order, "boundaries": boundaries,
-        "rep": rep,
+        "rep": rep, "premz": premz,
     }
 
 
@@ -1269,6 +1335,13 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
 
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    premz = graph.get("premz")
+    if premz is not None:
+        pz_off, pz_h, pz_p, pz_f = premz
+        lib.ns_engine_set_premz(
+            pz_off.ctypes.data_as(i64p), pz_h.ctypes.data_as(u64p),
+            pz_p.ctypes.data_as(i64p), pz_f.ctypes.data_as(u8p))
     c64 = lambda a: a.ctypes.data_as(i64p)
     nc = ctypes.c_int64()
     nm = ctypes.c_int64()
@@ -1302,6 +1375,10 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         )
     finally:
         lib.ns_engine_free(ctypes.c_void_p(h))
+        if premz is not None:
+            null64 = ctypes.cast(None, i64p)
+            lib.ns_engine_set_premz(null64, ctypes.cast(None, u64p),
+                                    null64, ctypes.cast(None, u8p))
         if tpu_hook is not None:
             tpu_hook.clear()
     stats.not_claimed += int(st2[0])
@@ -1508,12 +1585,15 @@ def build_contigs(
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         env = dict(os.environ, PYTHONPATH=repo_root)
+        # premz tables stay local: pickling ~0.7 B/base per worker defeats
+        # the point (workers rebuild minimizers on demand)
+        graph_wire = {k: v for k, v in graph.items() if k != "premz"}
         procs, files = [], []
         for b in bins:
             fi = _tf.NamedTemporaryFile(suffix=".in.pkl", delete=False)
             fo = _tf.NamedTemporaryFile(suffix=".out.pkl", delete=False)
             fo.close()
-            pickle.dump((store_parts, cfg, graph, b, omp), fi,
+            pickle.dump((store_parts, cfg, graph_wire, b, omp), fi,
                         protocol=pickle.HIGHEST_PROTOCOL)
             fi.close()
             p = subprocess.Popen(
