@@ -41,6 +41,11 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="nstpu_bench_")
     fq = os.path.join(work, "bench.fastq")
+    # The headline dataset keeps the iid model (comparable to earlier
+    # rounds); the hardened realistic model (repeats + homopolymer-biased
+    # indels + lognormal lengths) runs as the 'realistic' regime below,
+    # where its ratio is directly comparable to the reference's real-data
+    # numbers rather than flattered by a repeat-free synthetic.
     reads = synth.make_dataset(
         fq,
         genome_len=GENOME_LEN,
@@ -63,10 +68,14 @@ def main() -> int:
     # under-reports the pipeline
     arc = os.path.join(work, "bench.nstpu")
     compress_s = float("inf")
+    best_stages = {}
     for _ in range(3):
         t0 = time.time()
         res = compressor.compress_file(fq, arc, report=False)
-        compress_s = min(compress_s, time.time() - t0)
+        dt = time.time() - t0
+        if dt < compress_s:
+            compress_s = dt
+            best_stages = {k: round(v, 2) for k, v in res["stage_s"].items()}
 
     out = os.path.join(work, "bench.reads")
     decompress_s = float("inf")
@@ -96,6 +105,12 @@ def main() -> int:
         "compress_s": round(compress_s, 1),
         "decompress_s": round(decompress_s, 1),
         "lossless": True,
+        # per-stage wall of the fastest run (load / pipeline incl.
+        # sketch+join+grow+polish / serialize / codec+archive)
+        "stages": best_stages,
+        # which backend carried the batch DP + the steady-state probe
+        # timings when a chip was attached (engine.cpp dp probe)
+        **res.get("dp_info", {}),
         "regimes": _regime_ratios(work),
     }))
     return 0
@@ -122,18 +137,27 @@ def _regime_ratios(work: str) -> dict:
         # 24.5 kb, logs/2022/hs2.log)
         "long_reads": dict(genome_len=1_200_000, num_reads=1_500,
                            mean_len=24_000),
+        # headline shape on the hardened model: the ratio here is the one
+        # comparable to the reference's 11.97x on real hs2 data
+        "realistic": dict(genome_len=2_000_000, num_reads=12_000,
+                          mean_len=5_000),
     }
     for name, kw in regimes.items():
         try:
             fq = _os.path.join(work, f"{name}.fastq")
-            reads = synth.make_dataset(fq, seed=77, p_n_base=0.0005, **kw)
+            reads = synth.make_dataset(fq, seed=77, p_n_base=0.0005,
+                                       realistic=True, **kw)
             arc = _os.path.join(work, f"{name}.nstpu")
+            t0 = time.time()
             res = compressor.compress_file(fq, arc, report=False)
+            dt = time.time() - t0
             dec = _os.path.join(work, f"{name}.reads")
             decompressor.decompress_file(arc, dec, report=False)
             with open(dec, "rb") as f:
                 ok = f.read().splitlines() == reads
-            out[name] = {"ratio": round(res["ratio"], 2), "lossless": ok}
+            out[name] = {"ratio": round(res["ratio"], 2), "lossless": ok,
+                         "mbases_s": round(sum(len(r) for r in reads)
+                                           / dt / 1e6, 2)}
         except Exception as e:  # pragma: no cover - bench resilience
             out[name] = {"error": str(e)[:120]}
     return out

@@ -99,7 +99,13 @@ def _compress_loaded(store, out_path, cfg, timer, stats, report) -> dict:
     stats.lone_reads = int(len(lone_ids))
     stats.contigs = int(len(reads_per_contig))
     total_out = os.path.getsize(out_path)
+    try:
+        from .pipeline.contigs import DP_INFO as _dp_info
+        dp_info = dict(_dp_info)
+    except Exception:
+        dp_info = {"dp_backend": "native"}
     result = {
+        "dp_info": dp_info,
         "num_reads": store.num_reads,
         "total_bases": store.total_bases,
         "compressed_bytes": total_out,

@@ -194,6 +194,9 @@ def get_lib() -> ctypes.CDLL:
             ]
             lib.ns_engine_free.restype = None
             lib.ns_engine_free.argtypes = [ctypes.c_void_p]
+            dp = ctypes.POINTER(ctypes.c_double)
+            lib.ns_engine_probe_info.restype = None
+            lib.ns_engine_probe_info.argtypes = [dp, dp, i32p]
             lib.ns_varint_encode.restype = i64
             lib.ns_varint_encode.argtypes = [u64p, i64, u8p]
             lib.ns_varint_decode.restype = i64

@@ -102,7 +102,19 @@ struct PreMz {
 };
 PreMz g_premz;
 
+// last probe verdict (read back by Python for bench observability)
+double g_probe_tpu_s = -1.0, g_probe_nat_s = -1.0;
+int32_t g_probe_decision = -1;
+
 }  // namespace
+
+extern "C" void ns_engine_probe_info(double* tpu_s, double* nat_s,
+                                     int32_t* decision)
+{
+    *tpu_s = g_probe_tpu_s;
+    *nat_s = g_probe_nat_s;
+    *decision = g_probe_decision;
+}
 
 extern "C" void ns_engine_set_premz(
     const int64_t* off, const uint64_t* h, const int64_t* p,
@@ -131,6 +143,11 @@ extern "C" void ns_engine_set_tpu(
     g_tpu.ts = ts;
     g_tpu.te = te;
     g_tpu.trace = trace;
+    if (m_cap != g_tpu.m_cap && m_cap != 0) {
+        // new kernel shape: the cached probe verdict no longer applies
+        g_probe_decision = -1;
+        g_probe_tpu_s = g_probe_nat_s = -1.0;
+    }
     g_tpu.p_cap = p_cap;
     g_tpu.m_cap = m_cap;
     g_tpu.mode = mode;
@@ -839,7 +856,8 @@ struct Engine {
         return true;
     }
 
-    int32_t tpu_decision = -1;   // probe: -1 undecided, 0 native, 1 tpu
+    int32_t tpu_decision = -2;   // probe: -2 unwarmed, -1 warmed (next big
+                                 // batch is the timed probe), 0 native, 1 tpu
 
     void dp_run(BatchState& bs) {
         if (bs.batch.empty()) return;
@@ -853,9 +871,29 @@ struct Engine {
                 return;
             }
         } else if (g_tpu.fn && g_tpu.mode == 2 && tpu_decision != 0) {
+            if (tpu_decision < 0 && g_probe_decision >= 0) {
+                // a previous run in this process already probed this
+                // kernel shape: reuse the verdict (the warm-up + probe
+                // batches cost ~2 chip round trips per run otherwise)
+                tpu_decision = g_probe_decision;
+            }
+            if (tpu_decision == -2 && (int64_t)bs.batch.size() >= 64) {
+                // warm-up batch: run the chip path once untimed so kernel
+                // compilation and tunnel setup don't pollute the probe;
+                // host results overwrite and win (determinism kept)
+                const double ta = now_s();
+                const bool ok = dp_run_tpu(bs);
+                dp_run_native(bs);
+                tpu_decision = ok ? -1 : 0;
+                t_dp += now_s() - ta;
+                n_dp += (int64_t)bs.batch.size();
+                for (const Placed& p : bs.batch)
+                    dp_bases += p.qhi - p.qlo;
+                return;
+            }
             if (tpu_decision == -1 && (int64_t)bs.batch.size() >= 64) {
-                // probe: time the chip path, then the host path (host
-                // results overwrite and win; they also keep determinism)
+                // steady-state probe: time the (already compiled) chip
+                // path against the host path on one big batch
                 const double ta = now_s();
                 const bool ok = dp_run_tpu(bs);
                 const double tpu_s = now_s() - ta;
@@ -863,6 +901,9 @@ struct Engine {
                 dp_run_native(bs);
                 const double nat_s = now_s() - tb;
                 tpu_decision = (ok && tpu_s < nat_s) ? 1 : 0;
+                g_probe_tpu_s = tpu_s;
+                g_probe_nat_s = nat_s;
+                g_probe_decision = tpu_decision;
                 if (std::getenv("NS_ENGINE_DEBUG"))
                     std::fprintf(stderr,
                                  "[engine] dp probe: tpu %.3fs native %.3fs"

@@ -604,6 +604,272 @@ def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
     return out
 
 
+# ---------------------------------------------------------------------------
+# v3: row-tiled v2 for reference-length reads (hs2 averages 24,492 bases,
+# /root/reference/logs/2022/hs2.log:9 — the v2 dirs scratch caps queries at
+# 8192 rows). Checkpoint-and-recompute, all in VMEM (HBM scratch does not
+# compile through this toolchain): the forward pass stores only the band
+# state every _TR rows (one (16, 128) row per tile boundary); the backward
+# pass re-runs each tile's forward to rebuild its direction bits in a
+# VMEM-sized tile buffer, then traces back through it, carrying the
+# traceback cursor across tiles. ~2x forward FLOPs for an O(m_pad / _TR)
+# VMEM footprint; same band semantics (W = 63) and identical results to v2.
+# ---------------------------------------------------------------------------
+
+_TR = 2048                # backward tile rows (multiple of 512: the trace
+                          # strip flush window never straddles tiles)
+M_PAD16T_MAX = 32768      # dirs tile 2 MB + trace 512 KB + tpad/q ~1 MB
+
+
+def _kernel16t(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
+               cost_ref, len_ref, ts_ref, te_ref, trace_out,
+               dirs_lo, dirs_hi, trace, ckpt):
+    pid = pl.program_id(0)
+    INF = jnp.int32(_INF16)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, _W16), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+
+    def col(ref):
+        out = jnp.zeros((_SUB16, 1), jnp.int32)
+        for s in range(_SUB16):
+            out = jnp.where(sub == s, ref[_SUB16 * pid + s], out)
+        return out
+
+    d0 = col(d0_ref)
+    m = col(m_ref)
+    n = col(n_ref)
+    maxc = col(maxc_ref)
+    i_max = jnp.max(m)
+
+    kvalid = k >= 1
+    j0 = d0 + (k - _KOFF16)
+    prev0 = jnp.where(kvalid & (j0 >= 0) & (j0 <= n),
+                      jnp.int32(0), INF)
+    zero_lo = jnp.full((_SUB16, _W16), 0x33333333, jnp.int32)
+
+    def load_chars(i0):
+        ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
+        rot0 = i0 - ib
+        tch = tpad_ref[0, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
+        trot = pltpu.roll(tch, 3 * _W16 - rot0, axis=1)
+        qch = q_ref[0, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
+        qrot = pltpu.roll(qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1)
+        return trot, qrot
+
+    def row_step(i, prev, trot, qrot, r):
+        tchar = trot[:, r: r + _W16]
+        qc = qrot[:, r: r + 1]
+        j = d0 + i + (k - _KOFF16)
+        jvalid = kvalid & (j >= 0) & (j <= n)
+        dvalid = (j >= 1) & (j <= n)
+        match = tchar == qc
+        diag = jnp.where(
+            dvalid & (prev < INF),
+            prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+            INF,
+        )
+        up = pltpu.roll(prev, _W16 - 1, axis=1)
+        up = jnp.where((k < _W16 - 1) & (up < INF),
+                       up + jnp.int32(1), INF)
+        base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+        x = base - k
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
+            x = jnp.minimum(x, shifted)
+        cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+        d = jnp.where(
+            cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
+            jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+        )
+        d = jnp.where(cur >= INF, jnp.int32(3), d)
+        live = (i >= 1) & (i <= m)
+        prev = jnp.where(live, cur, prev)
+        return prev, d
+
+    # ---- forward pass 1: band state only, checkpoints every _TR rows ----
+    def fwd_group(carry):
+        i0, prev = carry
+
+        @pl.when(i0 % _TR == 0)
+        def _(prev=prev):
+            ckpt[pl.ds(i0 // _TR, 1), :, :] = prev[None, :, :]
+
+        trot, qrot = load_chars(i0)
+        for r in range(_SUB16):
+            prev, _d = row_step(i0 + r, prev, trot, qrot, r)
+        return i0 + _SUB16, prev
+
+    _i, prev = jax.lax.while_loop(
+        lambda c: c[0] <= i_max, fwd_group, (jnp.int32(0), prev0))
+
+    jm = d0 + m + (k - _KOFF16)
+    final = jnp.where(kvalid & (jm >= 0) & (jm <= n),
+                      prev, jnp.int32(1 << 20))
+    best = jnp.min(final, axis=1, keepdims=True)
+    best_k = jnp.min(jnp.where(final == best, k, jnp.int32(_W16)),
+                     axis=1, keepdims=True)
+    ok = (best <= maxc) & (m > 0)
+
+    # ---- backward: per tile, re-forward into the dirs tile, then trace --
+    def tb_row(i, carry, blk_lo_row, blk_hi_row):
+        kk, ndel, strip = carry
+        active = (i >= 1) & (i <= m) & ok
+        row_lo = jnp.broadcast_to(blk_lo_row, (_SUB16, _W16))
+        row_hi = jnp.broadcast_to(blk_hi_row, (_SUB16, _W16))
+        row_d = jnp.where(
+            sub < 8,
+            (row_lo >> (4 * sub)) & 7,
+            (row_hi >> (4 * (sub - 8))) & 7,
+        )
+        opb = row_d & 3
+        nd_mask = (opb != 2) & (k <= kk)
+        kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                     axis=1, keepdims=True)
+        dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                       axis=1, keepdims=True)
+        optype = dval & 3
+        mbit = dval >> 2
+        dels = kk - kp
+        op2 = jnp.where(optype == 1, jnp.int32(2),
+                        jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
+        esc = (dels > 62) | (optype >= 3) | (dval < 0)
+        rec = jnp.where(esc, jnp.int32(TRACE_ESC), (op2 << 6) | dels)
+        pos = i - 1
+        lane = (pos % 512) // 4
+        sh8 = 8 * (pos % 4)
+        strip = jnp.where((lane128 == lane) & active,
+                          strip + (rec << sh8), strip)
+        flush = (pos % 512 == 0) & (i >= 1)
+
+        @pl.when(flush)
+        def _(strip=strip, pos=pos):
+            soff = pl.multiple_of(pos // 4, _W16)
+            trace[:, pl.ds(soff, _W16)] = strip
+
+        strip = jnp.where(flush, jnp.int32(0), strip)
+        kk = jnp.where(
+            active,
+            kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+            kk)
+        ndel = ndel + jnp.where(active & ~esc, dels, jnp.int32(0))
+        return kk, ndel, strip
+
+    def tile_step(carry):
+        t, kk, ndel, strip = carry
+        tlo = t * _TR
+
+        # (a) re-forward this tile from its checkpoint, storing dirs
+        def refwd_group(c):
+            i0, prev, _dl, _dh = c
+            trot, qrot = load_chars(i0)
+            dbuf_lo = zero_lo
+            dbuf_hi = zero_lo
+            for r in range(_SUB16):
+                i = i0 + r
+                prev, d = row_step(i, prev, trot, qrot, r)
+                packed_lo = jnp.sum(
+                    jnp.where(sub < 8, d << (4 * sub), 0),
+                    axis=0, keepdims=True)
+                packed_hi = jnp.sum(
+                    jnp.where(sub >= 8, d << (4 * (sub - 8)), 0),
+                    axis=0, keepdims=True)
+                rowlive = (i >= 1) & (i <= i_max)
+                dbuf_lo = jnp.where(
+                    (sub128 == r) & rowlive,
+                    jnp.broadcast_to(packed_lo, (_SUB16, _W16)), dbuf_lo)
+                dbuf_hi = jnp.where(
+                    (sub128 == r) & rowlive,
+                    jnp.broadcast_to(packed_hi, (_SUB16, _W16)), dbuf_hi)
+            loc = pl.multiple_of(i0 - tlo, _SUB16)
+            dirs_lo[pl.ds(loc, _SUB16), :] = dbuf_lo
+            dirs_hi[pl.ds(loc, _SUB16), :] = dbuf_hi
+            return i0 + _SUB16, prev, dbuf_lo, dbuf_hi
+
+        pv = ckpt[pl.ds(t, 1), :, :][0]
+        bound = jnp.minimum(tlo + _TR - _SUB16,
+                            (i_max // _SUB16) * _SUB16)
+        jax.lax.while_loop(lambda c: c[0] <= bound, refwd_group,
+                           (tlo, pv, zero_lo, zero_lo))
+
+        # (b) trace back through the tile, high row group to low
+        def tb_group(c):
+            g0, kk, ndel, strip = c
+            loc = pl.multiple_of(g0 - tlo, _SUB16)
+            blk_lo = dirs_lo[pl.ds(loc, _SUB16), :]
+            blk_hi = dirs_hi[pl.ds(loc, _SUB16), :]
+            for r in range(_SUB16 - 1, -1, -1):
+                kk, ndel, strip = tb_row(
+                    g0 + r, (kk, ndel, strip),
+                    blk_lo[r: r + 1, :], blk_hi[r: r + 1, :])
+            return g0 - _SUB16, kk, ndel, strip
+
+        _g, kk, ndel, strip = jax.lax.while_loop(
+            lambda c: c[0] >= tlo, tb_group, (bound, kk, ndel, strip))
+        return t - 1, kk, ndel, strip
+
+    _t, k_fin, ndel, _s = jax.lax.while_loop(
+        lambda c: c[0] >= 0, tile_step,
+        (i_max // _TR, best_k,
+         jnp.zeros((_SUB16, 1), jnp.int32),
+         jnp.zeros((_SUB16, _W16), jnp.int32)))
+
+    cost = jnp.where(ok, best, jnp.where(m > 0, jnp.int32(-1), jnp.int32(0)))
+    ops_len = jnp.where(ok, m + ndel, 0)
+    tstart = jnp.where(ok, d0 + (k_fin - _KOFF16), 0)
+    tend = jnp.where(ok, d0 + m + (best_k - _KOFF16), 0)
+    NEG = jnp.int32(-(1 << 30))
+    for s in range(_SUB16):
+        pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+        cost_ref[_SUB16 * pid + s] = pick(cost)
+        len_ref[_SUB16 * pid + s] = pick(ops_len)
+        ts_ref[_SUB16 * pid + s] = pick(tstart)
+        te_ref[_SUB16 * pid + s] = pick(tend)
+    trace_out[0, :, :] = trace[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
+def _align_padded16t(d0, q_len, t_len, max_cost, tpad, queries,
+                     m_pad: int, interpret: bool = False):
+    PB = tpad.shape[0]
+    scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tw = m_pad + 3 * _W16
+    qw = m_pad + 2 * _W16
+    out = pl.pallas_call(
+        _kernel16t,
+        grid=(PB,),
+        in_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((1, _SUB16, tw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB16, qw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((1, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TR, _W16), jnp.int32),
+            pltpu.VMEM((_TR, _W16), jnp.int32),
+            pltpu.VMEM((_SUB16, m_pad // 4), jnp.int32),
+            # +1: a query of exactly m_pad rows checkpoints at tile T
+            pltpu.VMEM((m_pad // _TR + 1, _SUB16, _W16), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d0, q_len, t_len, max_cost, tpad, queries)
+    return out
+
+
 def banded_align_batch_tpu16(
     targets_flat: np.ndarray, t_off: np.ndarray, t_len: np.ndarray,
     queries_flat: np.ndarray, q_off: np.ndarray, q_len: np.ndarray,
@@ -627,8 +893,9 @@ def banded_align_batch_tpu16(
     t_off_s = np.asarray(t_off)[order].astype(np.int64)
     d0_s = np.asarray(d0)[order].astype(np.int64)
     m_pad = 1 << max(9, int(np.max(q_len_s) - 1).bit_length())
-    if m_pad > M_PAD16_MAX:
-        raise ValueError("query too long for the v2 kernel")
+    if m_pad > M_PAD16T_MAX:
+        raise ValueError("query too long for the v2/v3 kernels")
+    tiled = m_pad > M_PAD16_MAX      # v3 checkpoint-recompute kernel
     blocks = max(1, -(-P // _SUB16))
     p_pad = blocks * _SUB16
     tw = m_pad + 3 * _W16
@@ -656,7 +923,8 @@ def banded_align_batch_tpu16(
     tla[:P] = t_len_s
     mca[:P] = q_len_s * max_cost_per_kb // 1000 + 8
 
-    cost, ops_len, ts, te, trace = _align_padded16(
+    kern = _align_padded16t if tiled else _align_padded16
+    cost, ops_len, ts, te, trace = kern(
         d0a, qla, tla, mca,
         tpad.reshape(blocks, _SUB16, tw), qbuf.reshape(blocks, _SUB16, qw),
         m_pad=m_pad, interpret=interpret)

@@ -48,6 +48,10 @@ from . import candidates
 
 _TPU_ATTACHED: bool | None = None
 
+# last run's DP backend observability (bench/CLI reporting): which backend
+# carried the batch DP, plus the steady-state probe timings when one ran
+DP_INFO: dict = {"dp_backend": "native"}
+
 
 def _tpu_attached() -> bool:
     """True when JAX's default backend is an accelerator (tpu/axon)."""
@@ -1204,13 +1208,17 @@ class _TpuDpHook:
     kernel compile per process."""
 
     P_CAP = 512
-    M_CAP = 8192
 
-    def __init__(self, lib):
+    def __init__(self, lib, max_read_len: int = 8192):
         import ctypes
 
         from ..ops import align_tpu as at
 
+        # kernel row capacity follows the dataset: <=8192 uses the v2
+        # kernel, longer reads (hs2 averages 24,492 b) the v3 row-tiled
+        # kernel; reads beyond M_PAD16T_MAX still route to the host DP
+        self.M_CAP = min(at.M_PAD16T_MAX,
+                         max(512, 1 << (int(max_read_len) - 1).bit_length()))
         self.lib = lib
         tw = self.M_CAP + 3 * 128
         qw = self.M_CAP + 2 * 128
@@ -1227,13 +1235,18 @@ class _TpuDpHook:
         self._at = at
         self._tw, self._qw = tw, qw
 
+        self.batches = 0            # kernel invocations this run
+
         @ctypes.CFUNCTYPE(ctypes.c_int32, ctypes.c_int64)
         def _cb(n_pairs):
             try:
                 import jax
 
+                self.batches += 1
                 pb = int(n_pairs) // 16
-                out = at._align_padded16(
+                kern = (at._align_padded16t if self.M_CAP > at.M_PAD16_MAX
+                        else at._align_padded16)
+                out = kern(
                     self.d0, self.qlen, self.tlen, self.maxc,
                     self.tpad.reshape(pb, 16, tw),
                     self.qbuf.reshape(pb, 16, qw),
@@ -1292,12 +1305,20 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
     except Exception:
         return None
     # TPU DP backend: "tpu" forces the chip; "auto" with a chip attached
-    # probes both paths on the first big batch and keeps the faster one
+    # probes both paths (warm-up batch first, then a steady-state timed
+    # batch) and keeps the faster one — default-on above a size floor
+    # (the probe costs a kernel compile, ~30-70 s over this tunnel, which
+    # only amortizes on real workloads); NSTPU_TPU_PROBE=0 opts out,
+    # NSTPU_TPU_PROBE=1 forces it on regardless of input size
+    probe_env = os.environ.get("NSTPU_TPU_PROBE")
+    big_enough = (store.total_bases >= int(float(
+        os.environ.get("NSTPU_PROBE_MIN_BASES", 2e7))) or probe_env == "1")
     tpu_hook = None
     if cfg.aligner == "tpu" or (cfg.aligner == "auto" and _tpu_attached()
-                                and os.environ.get("NSTPU_TPU_PROBE") == "1"):
+                                and probe_env != "0" and big_enough):
         try:
-            tpu_hook = _TpuDpHook(lib)
+            max_len = int(store.lengths.max()) if store.num_reads else 8192
+            tpu_hook = _TpuDpHook(lib, max_len)
             tpu_hook.install(1 if cfg.aligner == "tpu" else 2)
         except Exception:
             tpu_hook = None
@@ -1383,6 +1404,23 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
             tpu_hook.clear()
     stats.not_claimed += int(st2[0])
     stats.aligned_ok += int(st2[1])
+    if tpu_hook is not None:
+        tpu_s = ctypes.c_double()
+        nat_s = ctypes.c_double()
+        dec = ctypes.c_int32()
+        lib.ns_engine_probe_info(ctypes.byref(tpu_s), ctypes.byref(nat_s),
+                                 ctypes.byref(dec))
+        DP_INFO.clear()
+        DP_INFO.update(
+            dp_backend=("tpu" if cfg.aligner == "tpu"
+                        else {1: "tpu", 0: "native"}.get(dec.value, "native")),
+            probe_tpu_s=round(tpu_s.value, 4),
+            probe_native_s=round(nat_s.value, 4),
+            tpu_batches=tpu_hook.batches,
+        )
+    else:
+        DP_INFO.clear()
+        DP_INFO.update(dp_backend="native")
 
     if not cfg.checks and not os.environ.get("NSTPU_TRACE"):
         # flat fast path: the fetch output is already the member-order

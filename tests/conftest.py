@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# NSTPU_TEST_REAL_CHIP=1 keeps the attached accelerator visible so the
+# compiled-kernel smoke tests (test_tpu_compiled.py) exercise the real
+# Mosaic path; default is the virtual CPU mesh for hermetic CI.
+if os.environ.get("NSTPU_TEST_REAL_CHIP") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -140,3 +140,23 @@ def test_engine_tpu_backend_graceful_fallback(tmp_path):
     with open(out, "rb") as f:
         assert f.read().split(b"\n")[:-1] == reads
     assert res["ratio"] > 1.0
+
+
+def test_tpu16_tiled_kernel_matches_native(monkeypatch):
+    """v3 row-tiled kernel (checkpoint-and-recompute for reference-length
+    reads, hs2 avg 24,492 b) must match the exact C++ DP at W=63. Forced
+    onto the tiled path with shrunken caps so interpret mode stays fast
+    while still crossing multiple row tiles."""
+    import nanospring_tpu.ops.align_tpu as at
+
+    monkeypatch.setattr(at, "M_PAD16_MAX", 512)   # force the tiled kernel
+    monkeypatch.setattr(at, "_TR", 512)           # multiple tiles at 2-3 kb
+    rng = np.random.default_rng(7)
+    args = _mkbatch(6, rng, tmin=2200, tmax=3400, minov=1500)
+    ref = banded_align_batch(*args, band=63, use_native=True)
+    tpu = at.banded_align_batch_tpu16(*args, interpret=True)
+    assert np.array_equal(ref.cost, tpu.cost), (ref.cost, tpu.cost)
+    assert (tpu.cost >= 0).sum() >= 3     # the batch must exercise accepts
+    for p in range(6):
+        if tpu.cost[p] >= 0:
+            assert _replay_ok(args, tpu, p), p
