@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default-codec", default=None,
                    help="codec for the remaining streams (default: nsbwt)")
     p.add_argument("-w", "--work-dir", default=None, help="temp dir root")
-    p.add_argument("--low-mem", action="store_true")
+    p.add_argument("--low-mem", action="store_true", default=None,
+                   help="disk-backed read store (default: auto by input size)")
     p.add_argument("--no-assembly", action="store_true", help="store all reads lone")
     p.add_argument("--checks", action="store_true",
                    help="edit-script replay invariants after every accept "

@@ -35,9 +35,18 @@ def compress_file(
     timer = StageTimer(report=report)
     stats = FunnelStats()
 
+    low_mem = cfg.low_mem
+    if low_mem is None:
+        # auto: disk-backed store above the threshold so neither the store
+        # nor the per-worker fan-out duplicates a big dataset in RAM (the
+        # reference hardwires its low-mem mode on, src/main.cpp:40)
+        try:
+            low_mem = os.path.getsize(in_path) >= cfg.low_mem_auto_bytes
+        except OSError:
+            low_mem = False
     with timer.stage("load_reads"):
         store = read_store.load_fastq(
-            in_path, low_mem=cfg.low_mem, work_dir=cfg.resolved_work_root()
+            in_path, low_mem=low_mem, work_dir=cfg.resolved_work_root()
         )
     if report:
         print(

@@ -83,7 +83,12 @@ class CompressConfig:
     pipeline_workers: int = 0          # contig-growth processes (0 = auto);
                                        # components are disjoint, so workers
                                        # (or hosts) need no coordination
-    low_mem: bool = False              # disk-backed read store
+    low_mem: bool | None = None        # disk-backed read store; None = auto
+                                       # (on above low_mem_auto_bytes input
+                                       # size — the in-memory worker fan-out
+                                       # would otherwise duplicate the packed
+                                       # dataset per worker)
+    low_mem_auto_bytes: int = 2 << 30  # auto threshold on input file size
     work_dir: str | None = None        # temp dir root (None -> system tmp)
 
     # --- codec stage (reference: src/Compressor.cpp:126-130) ---

@@ -141,6 +141,12 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def encode_id_stream(ids: np.ndarray) -> np.ndarray:
+    # the id stream is 4-byte (read_t) like the reference, which hard-errors
+    # past uint32 (src/ReadData.cpp:122-124); a silent cast would corrupt
+    if np.asarray(ids).size and int(np.max(ids)) >= 1 << 32:
+        raise ValueError(
+            f"read id {int(np.max(ids))} exceeds the 4-byte id-stream format "
+            "(datasets beyond 2^32 reads need sharded archives)")
     ids = np.asarray(ids, dtype=np.uint32)
     deltas = np.empty_like(ids)
     if ids.size:
