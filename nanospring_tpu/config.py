@@ -97,8 +97,10 @@ class CompressConfig:
     # both nsbwt and stdlib lzma-6 on .base, within 0.6% of lzma-6 on
     # .pos); the from-scratch BWT codec (nsbwt, the libbsc role) owns the
     # rest. "lzma"/"bz2"/"zlib" remain available per stream.
-    base_codec: str = "nslz"           # .base stream codec
-    pos_codec: str = "nslz"            # .pos stream codec
+    base_codec: str = "nslz"           # .base stream codec (LZ77 wins the
+                                       # near-random literal stream)
+    pos_codec: str = "nsbwt"           # .pos stream codec (LZP+BWT order-1
+                                       # beats lzma-6 and nslz; docs/CODECS.md)
     default_codec: str = "nsbwt"       # remaining streams (incl .lone)
 
     def resolved_threads(self) -> int:

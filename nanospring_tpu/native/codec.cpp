@@ -9,6 +9,8 @@
 // 0xFFFFFFFF, payload = the input verbatim, for incompressible blocks).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -167,6 +169,24 @@ void bwt_inverse(const uint8_t* bwt, int64_t n, uint32_t primary, uint8_t* out) 
 // LZMA-style binary range coder with adaptive 12-bit probabilities.
 // ---------------------------------------------------------------------------
 
+// Dual-rate adaptive probability (libbsc's qlfc counter idea): a fast
+// counter tracks local statistics, a slow one the block-wide distribution;
+// coding uses their mean. Beats a single shift-5 counter on every stream
+// measured (docs/CODECS.md).
+struct Prob {
+  uint16_t fast = 2048, slow = 2048;
+  inline uint32_t p() const { return (uint32_t(fast) + uint32_t(slow)) >> 1; }
+  inline void update(int bit) {
+    if (!bit) {
+      fast += (4096 - fast) >> 3;
+      slow += (4096 - slow) >> 6;
+    } else {
+      fast -= fast >> 3;
+      slow -= slow >> 6;
+    }
+  }
+};
+
 struct RangeEncoder {
   std::vector<uint8_t>& out;
   uint64_t low = 0;
@@ -200,6 +220,37 @@ struct RangeEncoder {
       range -= bound;
       p -= p >> 5;
     }
+    while (range < (1u << 24)) {
+      shiftLow();
+      range <<= 8;
+    }
+  }
+
+  void encode4(uint16_t& p, int bit) {
+    uint32_t bound = (range >> 12) * p;
+    if (!bit) {
+      range = bound;
+      p += (4096 - p) >> 4;
+    } else {
+      low += bound;
+      range -= bound;
+      p -= p >> 4;
+    }
+    while (range < (1u << 24)) {
+      shiftLow();
+      range <<= 8;
+    }
+  }
+
+  void encode(Prob& pr, int bit) {
+    uint32_t bound = (range >> 12) * pr.p();
+    if (!bit) {
+      range = bound;
+    } else {
+      low += bound;
+      range -= bound;
+    }
+    pr.update(bit);
     while (range < (1u << 24)) {
       shiftLow();
       range <<= 8;
@@ -254,6 +305,45 @@ struct RangeDecoder {
     return bit;
   }
 
+  int decode4(uint16_t& p) {
+    uint32_t bound = (range >> 12) * p;
+    int bit;
+    if (code < bound) {
+      range = bound;
+      p += (4096 - p) >> 4;
+      bit = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      p -= p >> 4;
+      bit = 1;
+    }
+    while (range < (1u << 24)) {
+      code = (code << 8) | next();
+      range <<= 8;
+    }
+    return bit;
+  }
+
+  int decode(Prob& pr) {
+    uint32_t bound = (range >> 12) * pr.p();
+    int bit;
+    if (code < bound) {
+      range = bound;
+      bit = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      bit = 1;
+    }
+    pr.update(bit);
+    while (range < (1u << 24)) {
+      code = (code << 8) | next();
+      range <<= 8;
+    }
+    return bit;
+  }
+
   uint32_t decodeDirect(int nbits) {
     uint32_t v = 0;
     for (int i = 0; i < nbits; ++i) {
@@ -278,35 +368,44 @@ struct RangeDecoder {
 // ---------------------------------------------------------------------------
 
 struct Model {
-  // zero-run lengths: Elias-gamma with adaptive bits
-  uint16_t runLen[32];        // unary length-of-length bits
-  uint16_t runBits[32];       // value bits by position
-  // nonzero ranks: 8-bit bit-tree per context (prev-rank class)
-  uint16_t rank[3][256];
+  // zero-run lengths: Elias-gamma with adaptive bits, contexted by the
+  // preceding rank class (runs after rank-1 symbols behave differently
+  // from runs after deep ranks — QLFC-e2's insight, libbsc qlfc.cpp role)
+  uint16_t runLen[2][32];     // unary length-of-length bits
+  uint16_t runBits[2][32];    // value bits by position
+  // nonzero ranks: 8-bit bit-tree, context = previous rank class (4) x
+  // whether a zero run intervened (2)
+  uint16_t rank[8][256];
   Model() {
-    for (auto& p : runLen) p = 2048;
-    for (auto& p : runBits) p = 2048;
+    for (auto& c : runLen)
+      for (auto& p : c) p = 2048;
+    for (auto& c : runBits)
+      for (auto& p : c) p = 2048;
     for (auto& c : rank)
       for (auto& p : c) p = 2048;
   }
 };
 
-void encode_run(RangeEncoder& rc, Model& m, uint64_t v) {
+inline int rank_class(int r) {
+  return r == 1 ? 0 : (r == 2 ? 1 : (r < 8 ? 2 : 3));
+}
+
+void encode_run(RangeEncoder& rc, Model& m, int ctx, uint64_t v) {
   // encode v (>= 0) as gamma of v+1
   uint64_t x = v + 1;
   int nb = 63 - __builtin_clzll(x);  // number of value bits after the top 1
-  for (int i = 0; i < nb; ++i) rc.encode(m.runLen[i < 31 ? i : 31], 1);
-  rc.encode(m.runLen[nb < 31 ? nb : 31], 0);
+  for (int i = 0; i < nb; ++i) rc.encode(m.runLen[ctx][i < 31 ? i : 31], 1);
+  rc.encode(m.runLen[ctx][nb < 31 ? nb : 31], 0);
   for (int i = nb - 1; i >= 0; --i)
-    rc.encode(m.runBits[i < 31 ? i : 31], int((x >> i) & 1));
+    rc.encode(m.runBits[ctx][i < 31 ? i : 31], int((x >> i) & 1));
 }
 
-uint64_t decode_run(RangeDecoder& rc, Model& m) {
+uint64_t decode_run(RangeDecoder& rc, Model& m, int ctx) {
   int nb = 0;
-  while (rc.decode(m.runLen[nb < 31 ? nb : 31])) ++nb;
+  while (rc.decode(m.runLen[ctx][nb < 31 ? nb : 31])) ++nb;
   uint64_t x = 1;
   for (int i = nb - 1; i >= 0; --i)
-    x = (x << 1) | uint64_t(rc.decode(m.runBits[i < 31 ? i : 31]));
+    x = (x << 1) | uint64_t(rc.decode(m.runBits[ctx][i < 31 ? i : 31]));
   return x - 1;
 }
 
@@ -326,13 +425,302 @@ uint8_t decode_rank(RangeDecoder& rc, Model& m, int ctx) {
   return uint8_t(node & 0xFF);
 }
 
+// LZP long-range pre-pass (the role of libbsc's lzp stage): at each
+// position whose preceding HLEN bytes hash to a previously seen position,
+// a match of >= MINLEN bytes collapses to [ESC][gamma(len-MINLEN)]; the
+// residue (mostly literals) then goes through BWT + the contexted coder.
+// The decoder rebuilds the same hash table from its own output, so the
+// transform is self-synchronizing. This is what lets the block coder
+// capture the multi-kb overlaps between neighboring contig consensi that
+// an LZ77 window exploits natively.
+namespace lzp {
+
+constexpr int HLEN = 16;
+constexpr int64_t MINLEN = 32;
+constexpr uint8_t ESC = 0xFB;   // rare in 2-bit-coded / varint streams
+constexpr int HBITS = 20;
+
+inline uint32_t hash16(const uint8_t* p) {
+  uint64_t a, b;
+  std::memcpy(&a, p, 8);
+  std::memcpy(&b, p + 8, 8);
+  uint64_t h = (a * 0x9E3779B97F4A7C15ull) ^ (b * 0xC2B2AE3D27D4EB4Full);
+  return uint32_t(h >> (64 - HBITS));
+}
+
+inline void put_gamma(std::vector<uint8_t>& out, uint64_t v) {
+  // LEB128 of v (byte-aligned; feeds the BWT stage, so byte structure
+  // beats bit packing here)
+  while (v >= 0x80) {
+    out.push_back(uint8_t(v) | 0x80);
+    v >>= 7;
+  }
+  out.push_back(uint8_t(v));
+}
+
+int64_t encode(const uint8_t* in, int64_t n, std::vector<uint8_t>& out) {
+  std::vector<int64_t> table(size_t(1) << HBITS, -1);
+  out.clear();
+  out.reserve(size_t(n));
+  int64_t i = 0;
+  while (i < n) {
+    if (i >= HLEN && i + MINLEN <= n) {
+      const uint32_t h = hash16(in + i - HLEN);
+      const int64_t p = table[h];
+      table[h] = i;
+      if (p >= 0 && std::memcmp(in + p - HLEN, in + i - HLEN, HLEN) == 0) {
+        int64_t len = 0;
+        const int64_t cap = n - i;
+        while (len < cap && in[p + len] == in[i + len]) ++len;
+        if (len >= MINLEN) {
+          out.push_back(ESC);
+          put_gamma(out, uint64_t(len - MINLEN + 1));
+          i += len;
+          continue;
+        }
+      }
+    }
+    const uint8_t c = in[i++];
+    out.push_back(c);
+    if (c == ESC) put_gamma(out, 0);   // literal escape
+  }
+  return int64_t(out.size());
+}
+
+void decode(const uint8_t* in, int64_t n, std::vector<uint8_t>& out) {
+  std::vector<int64_t> table(size_t(1) << HBITS, -1);
+  out.clear();
+  int64_t i = 0;
+  while (i < n) {
+    const int64_t opos = (int64_t)out.size();
+    bool try_match = false;
+    int64_t mpos = -1;
+    if (opos >= HLEN) {
+      const uint32_t h = hash16(out.data() + opos - HLEN);
+      mpos = table[h];
+      table[h] = opos;
+      try_match = mpos >= 0 &&
+          std::memcmp(out.data() + mpos - HLEN,
+                      out.data() + opos - HLEN, HLEN) == 0;
+    }
+    const uint8_t c = in[i++];
+    if (c == ESC) {
+      uint64_t v = 0;
+      int sh = 0;
+      while (true) {
+        const uint8_t b = in[i++];
+        v |= uint64_t(b & 0x7F) << sh;
+        if (!(b & 0x80)) break;
+        sh += 7;
+      }
+      if (v == 0) {
+        out.push_back(ESC);
+        continue;
+      }
+      const int64_t len = int64_t(v) - 1 + MINLEN;
+      // match source: the table hit (must exist by construction)
+      for (int64_t k = 0; k < len; ++k)
+        out.push_back(out[size_t(mpos + k)]);
+      continue;
+    }
+    out.push_back(c);
+    (void)try_match;
+  }
+}
+
+}  // namespace lzp
+
+// Direct order-1 coder (no MTF): run length of the current symbol via
+// adaptive gamma, then the next (different) symbol via an 8-bit tree
+// contexted on the previous symbol byte — lzma-class literal modeling on
+// the BWT output, which keeps the context information MTF destroys.
+// Wins on byte-structured streams (pos varints, base literals); the MTF
+// coder stays better on tiny-alphabet streams, so ns_bsc_compress tries
+// both and keeps the smaller (1 mode byte per block).
+struct DirectModel {
+  uint16_t runLen[256][32];
+  uint16_t runBits[256][32];
+  uint16_t sym[256][256];
+  DirectModel() {
+    for (auto& c : runLen)
+      for (auto& p : c) p = 2048;
+    for (auto& c : runBits)
+      for (auto& p : c) p = 2048;
+    for (auto& c : sym)
+      for (auto& p : c) p = 2048;
+  }
+};
+
+void d_encode_run(RangeEncoder& rc, DirectModel& m, int ctx, uint64_t v) {
+  uint64_t x = v + 1;
+  int nb = 63 - __builtin_clzll(x);
+  for (int i = 0; i < nb; ++i) rc.encode(m.runLen[ctx][i < 31 ? i : 31], 1);
+  rc.encode(m.runLen[ctx][nb < 31 ? nb : 31], 0);
+  for (int i = nb - 1; i >= 0; --i)
+    rc.encode(m.runBits[ctx][i < 31 ? i : 31], int((x >> i) & 1));
+}
+
+uint64_t d_decode_run(RangeDecoder& rc, DirectModel& m, int ctx) {
+  int nb = 0;
+  while (rc.decode(m.runLen[ctx][nb < 31 ? nb : 31])) ++nb;
+  uint64_t x = 1;
+  for (int i = nb - 1; i >= 0; --i)
+    x = (x << 1) | uint64_t(rc.decode(m.runBits[ctx][i < 31 ? i : 31]));
+  return x - 1;
+}
+
+int64_t coder2_encode(const uint8_t* bwt, int64_t n, std::vector<uint8_t>& out) {
+  RangeEncoder rc(out);
+  static thread_local DirectModel* mp = nullptr;
+  if (!mp) mp = new DirectModel();
+  *mp = DirectModel();
+  DirectModel& m = *mp;
+  uint8_t prev = 0;
+  int64_t i = 0;
+  while (i < n) {
+    // run of prev
+    uint64_t run = 0;
+    while (i + (int64_t)run < n && bwt[i + run] == prev) ++run;
+    d_encode_run(rc, m, prev, run);
+    i += (int64_t)run;
+    if (i >= n) break;
+    const uint8_t c = bwt[i];
+    uint32_t node = 1;
+    for (int b = 7; b >= 0; --b) {
+      int bit = (c >> b) & 1;
+      rc.encode(m.sym[prev][node], bit);
+      node = (node << 1) | uint32_t(bit);
+    }
+    prev = c;
+    ++i;
+  }
+  rc.flush();
+  return int64_t(out.size());
+}
+
+void coder2_decode(const uint8_t* in, int64_t in_n, uint8_t* out, int64_t n) {
+  RangeDecoder rc(in, in_n);
+  static thread_local DirectModel* mp = nullptr;
+  if (!mp) mp = new DirectModel();
+  *mp = DirectModel();
+  DirectModel& m = *mp;
+  uint8_t prev = 0;
+  int64_t i = 0;
+  while (i < n) {
+    uint64_t run = d_decode_run(rc, m, prev);
+    while (run-- && i < n) out[i++] = prev;
+    if (i >= n) break;
+    uint32_t node = 1;
+    for (int b = 7; b >= 0; --b)
+      node = (node << 1) | uint32_t(rc.decode(m.sym[prev][node]));
+    prev = uint8_t(node & 0xFF);
+    out[i++] = prev;
+  }
+}
+
+// Small-alphabet order-2 coder: blocks with <= 16 distinct bytes (DNA
+// consensus, type stream) remap symbols to 4-bit codes and model them
+// with a 16-node tree contexted on the previous TWO symbols (K^2 <= 256
+// contexts) — the extra context order is affordable precisely because
+// the alphabet is tiny. Header: [u8 K][K alphabet bytes].
+struct SmallModel {
+  uint16_t runLen[256][32];
+  uint16_t runBits[256][32];
+  uint16_t sym[1024][16];
+  SmallModel() {
+    for (auto& c : runLen)
+      for (auto& p : c) p = 2048;
+    for (auto& c : runBits)
+      for (auto& p : c) p = 2048;
+    for (auto& c : sym)
+      for (auto& p : c) p = 2048;
+  }
+};
+
+int64_t coder3_encode(const uint8_t* bwt, int64_t n, int K,
+                      const uint8_t* alpha, const uint8_t* amap,
+                      std::vector<uint8_t>& out) {
+  out.push_back(uint8_t(K));
+  for (int i = 0; i < K; ++i) out.push_back(alpha[i]);
+  RangeEncoder rc(out);
+  static thread_local SmallModel* mp = nullptr;
+  if (!mp) mp = new SmallModel();
+  *mp = SmallModel();
+  SmallModel& m = *mp;
+  const bool o3 = K <= 8;    // order-3 context when the alphabet allows
+  uint32_t p1 = 0, p2 = 0, p3 = 0;   // mapped prev symbols
+  int64_t i = 0;
+  while (i < n) {
+    uint64_t run = 0;
+    while (i + (int64_t)run < n && amap[bwt[i + run]] == p1) ++run;
+    {
+      const uint32_t rctx = p1 * 16 + p2;
+      uint64_t x = run + 1;
+      int nb = 63 - __builtin_clzll(x);
+      for (int b = 0; b < nb; ++b)
+        rc.encode(m.runLen[rctx][b < 31 ? b : 31], 1);
+      rc.encode(m.runLen[rctx][nb < 31 ? nb : 31], 0);
+      for (int b = nb - 1; b >= 0; --b)
+        rc.encode(m.runBits[rctx][b < 31 ? b : 31], int((x >> b) & 1));
+    }
+    i += (int64_t)run;
+    if (i >= n) break;
+    const uint32_t c = amap[bwt[i]];
+    const uint32_t ctx = o3 ? (p1 * 64 + p2 * 8 + p3) : (p1 * 16 + p2);
+    uint32_t node = 1;
+    for (int b = 3; b >= 0; --b) {
+      int bit = (c >> b) & 1;
+      rc.encode(m.sym[ctx][node], bit);
+      node = (node << 1) | uint32_t(bit);
+    }
+    p3 = p2;
+    p2 = p1;
+    p1 = c;
+    ++i;
+  }
+  rc.flush();
+  return int64_t(out.size());
+}
+
+void coder3_decode(const uint8_t* in, int64_t in_n, uint8_t* out, int64_t n) {
+  const int K = in[0];
+  const uint8_t* alpha = in + 1;
+  RangeDecoder rc(in + 1 + K, in_n - 1 - K);
+  static thread_local SmallModel* mp = nullptr;
+  if (!mp) mp = new SmallModel();
+  *mp = SmallModel();
+  SmallModel& m = *mp;
+  const bool o3 = K <= 8;
+  uint32_t p1 = 0, p2 = 0, p3 = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const uint32_t rctx = p1 * 16 + p2;
+    int nb = 0;
+    while (rc.decode(m.runLen[rctx][nb < 31 ? nb : 31])) ++nb;
+    uint64_t x = 1;
+    for (int b = nb - 1; b >= 0; --b)
+      x = (x << 1) | uint64_t(rc.decode(m.runBits[rctx][b < 31 ? b : 31]));
+    uint64_t run = x - 1;
+    while (run-- && i < n) out[i++] = alpha[p1];
+    if (i >= n) break;
+    const uint32_t ctx = o3 ? (p1 * 64 + p2 * 8 + p3) : (p1 * 16 + p2);
+    uint32_t node = 1;
+    for (int b = 3; b >= 0; --b)
+      node = (node << 1) | uint32_t(rc.decode(m.sym[ctx][node]));
+    p3 = p2;
+    p2 = p1;
+    p1 = node & 15;
+    out[i++] = alpha[p1];
+  }
+}
+
 int64_t coder_encode(const uint8_t* bwt, int64_t n, std::vector<uint8_t>& out) {
   uint8_t mtf[256];
   for (int i = 0; i < 256; ++i) mtf[i] = uint8_t(i);
   RangeEncoder rc(out);
   Model m;
   uint64_t zrun = 0;
-  int ctx = 0;
+  int rcls = 0;   // previous rank class
   for (int64_t i = 0; i < n; ++i) {
     uint8_t c = bwt[i];
     // find rank
@@ -342,15 +730,15 @@ int64_t coder_encode(const uint8_t* bwt, int64_t n, std::vector<uint8_t>& out) {
       ++zrun;
       continue;
     }
-    encode_run(rc, m, zrun);
+    encode_run(rc, m, rcls == 0 ? 0 : 1, zrun);
+    encode_rank(rc, m, rcls * 2 + (zrun > 0 ? 1 : 0), uint8_t(r));
     zrun = 0;
-    encode_rank(rc, m, ctx, uint8_t(r));
-    ctx = r == 1 ? 1 : 2;
+    rcls = rank_class(r);
     // move to front
     for (int k = r; k > 0; --k) mtf[k] = mtf[k - 1];
     mtf[0] = c;
   }
-  encode_run(rc, m, zrun);
+  encode_run(rc, m, rcls == 0 ? 0 : 1, zrun);
   rc.flush();
   return int64_t(out.size());
 }
@@ -360,14 +748,15 @@ void coder_decode(const uint8_t* in, int64_t in_n, uint8_t* out, int64_t n) {
   for (int i = 0; i < 256; ++i) mtf[i] = uint8_t(i);
   RangeDecoder rc(in, in_n);
   Model m;
-  int ctx = 0;
+  int rcls = 0;
   int64_t i = 0;
   while (i < n) {
-    uint64_t zrun = decode_run(rc, m);
+    uint64_t zrun = decode_run(rc, m, rcls == 0 ? 0 : 1);
+    const bool had_run = zrun > 0;
     while (zrun-- && i < n) out[i++] = mtf[0];
     if (i >= n) break;
-    uint8_t r = decode_rank(rc, m, ctx);
-    ctx = r == 1 ? 1 : 2;
+    uint8_t r = decode_rank(rc, m, rcls * 2 + (had_run ? 1 : 0));
+    rcls = rank_class(r);
     uint8_t c = mtf[r];
     for (int k = r; k > 0; --k) mtf[k] = mtf[k - 1];
     mtf[0] = c;
@@ -380,6 +769,12 @@ void coder_decode(const uint8_t* in, int64_t in_n, uint8_t* out, int64_t n) {
 extern "C" {
 
 // out must have capacity n + 1024. Returns compressed size.
+//
+// Block format: [u32 n][u32 primary][u8 mode][u32 lzp_n?][payload]
+//   primary == 0xFFFFFFFF: raw escape, payload = input verbatim (no mode).
+//   mode bit0-1: coder (1 = direct order-1, 2 = small-alphabet order-2);
+//   mode bit2: LZP long-range pre-pass applied (lzp_n u32 follows: the
+//   transformed length the coder/BWT stage ran on).
 int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   uint32_t nn = uint32_t(n);
   std::memcpy(out, &nn, 4);
@@ -388,20 +783,71 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
     std::memcpy(out + 4, &esc, 4);
     return 8;
   }
-  std::vector<uint8_t> bwt(n);
-  uint32_t primary = bwt_forward(in, n, bwt.data());
+  // LZP pre-pass: collapses multi-kb repeats (overlapping contig
+  // consensi) the block coder cannot reach. The decision is by FINAL
+  // coded size — LZP can shrink the bytes yet scramble the BWT structure
+  // the coder feeds on (measured on the type stream), so when it engages
+  // both variants are coded and the smaller wins.
+  auto code_block = [](const uint8_t* src, int64_t m,
+                       std::vector<uint8_t>& payload,
+                       uint32_t* primary) -> uint8_t {
+    std::vector<uint8_t> bwt((size_t)m);
+    *primary = bwt_forward(src, m, bwt.data());
+    uint8_t amap[256];
+    uint8_t alpha[256];
+    bool seen[256] = {};
+    for (int64_t i = 0; i < m; ++i) seen[bwt[size_t(i)]] = true;
+    int K = 0;
+    for (int c = 0; c < 256; ++c)
+      if (seen[c]) { amap[c] = uint8_t(K); alpha[K++] = uint8_t(c); }
+    payload.clear();
+    payload.reserve(size_t(m / 2 + 64));
+    if (K <= 16) {
+      coder3_encode(bwt.data(), m, K, alpha, amap, payload);
+      return 2;
+    }
+    coder2_encode(bwt.data(), m, payload);
+    return 1;
+  };
+
+  std::vector<uint8_t> lz;
+  lzp::encode(in, n, lz);
   std::vector<uint8_t> payload;
-  payload.reserve(size_t(n / 2 + 64));
-  coder_encode(bwt.data(), n, payload);
-  if (int64_t(payload.size()) >= n) {  // incompressible: store raw
+  uint32_t primary;
+  uint8_t mode = code_block(in, n, payload, &primary);
+  bool use_lzp = false;
+  int64_t m = n;
+  if (int64_t(lz.size()) + 64 < n) {
+    std::vector<uint8_t> payload2;
+    uint32_t primary2;
+    const uint8_t coder2m =
+        code_block(lz.data(), (int64_t)lz.size(), payload2, &primary2);
+    if (payload2.size() + 4 < payload.size()) {
+      payload.swap(payload2);
+      primary = primary2;
+      mode = coder2m | 4;
+      use_lzp = true;
+      m = (int64_t)lz.size();
+    }
+  }
+
+  const int64_t head = 8 + 1 + (use_lzp ? 4 : 0);
+  if (head + int64_t(payload.size()) >= n) {  // incompressible: store raw
     uint32_t esc = 0xFFFFFFFFu;
     std::memcpy(out + 4, &esc, 4);
     std::memcpy(out + 8, in, size_t(n));
     return 8 + n;
   }
   std::memcpy(out + 4, &primary, 4);
-  std::memcpy(out + 8, payload.data(), payload.size());
-  return 8 + int64_t(payload.size());
+  out[8] = mode;
+  int64_t off = 9;
+  if (use_lzp) {
+    uint32_t mm = uint32_t(m);
+    std::memcpy(out + off, &mm, 4);
+    off += 4;
+  }
+  std::memcpy(out + off, payload.data(), payload.size());
+  return off + int64_t(payload.size());
 }
 
 // Returns decompressed size (== stored n). out must have capacity >= n.
@@ -415,9 +861,30 @@ int64_t ns_bsc_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
     std::memcpy(out, in + 8, size_t(n));
     return n;
   }
-  std::vector<uint8_t> bwt(n);
-  coder_decode(in + 8, in_n - 8, bwt.data(), n);
-  bwt_inverse(bwt.data(), n, primary, out);
+  const uint8_t mode = in[8];
+  int64_t off = 9;
+  int64_t m = n;
+  if (mode & 4) {
+    uint32_t mm;
+    std::memcpy(&mm, in + off, 4);
+    off += 4;
+    m = mm;
+  }
+  std::vector<uint8_t> bwt((size_t)m);
+  if ((mode & 3) == 2)
+    coder3_decode(in + off, in_n - off, bwt.data(), m);
+  else
+    coder2_decode(in + off, in_n - off, bwt.data(), m);
+  if (mode & 4) {
+    std::vector<uint8_t> lz((size_t)m);
+    bwt_inverse(bwt.data(), m, primary, lz.data());
+    std::vector<uint8_t> dec;
+    dec.reserve(size_t(n));
+    lzp::decode(lz.data(), m, dec);
+    std::memcpy(out, dec.data(), size_t(n));
+  } else {
+    bwt_inverse(bwt.data(), m, primary, out);
+  }
   return n;
 }
 
