@@ -403,3 +403,120 @@ def load_fastq(path: str, low_mem: bool = False, work_dir: str = "/tmp",
         for flat, lengths in fastq.iter_sequence_batches(path):
             b.add_batch(flat, lengths)
     return b.finish()
+
+
+# ---------------------------------------------------------------------------
+# Sharded ingestion (multi-process scale path, SURVEY §5.8): each process
+# reads only its own byte range of the FASTQ — the reference's low-mem
+# machinery exists for exactly the inputs where whole-file-per-process
+# dies (src/ReadData.cpp:156-235).
+# ---------------------------------------------------------------------------
+
+def _fastq_sync_point(f, offset: int, file_size: int) -> int:
+    """First byte >= offset that starts a FASTQ record (pure function of
+    the file bytes, so every process computes identical boundaries)."""
+    if offset <= 0:
+        return 0
+    f.seek(offset)
+    # skip the (possibly partial) current line
+    f.readline()
+    base = f.tell()
+    lines = []
+    pos = []
+    while len(lines) < 8 and f.tell() < file_size:
+        pos.append(f.tell())
+        lines.append(f.readline())
+    for j in range(min(4, len(lines))):
+        if (lines[j].startswith(b"@") and j + 2 < len(lines)
+                and lines[j + 2].startswith(b"+")):
+            return pos[j]
+    return base  # degenerate tail (no full record follows)
+
+
+def fastq_shard_bounds(path: str, nshards: int) -> list[int] | None:
+    """Byte offsets [b0..b_nshards] cutting the file at record boundaries.
+    Returns None for gzip inputs (not byte-range shardable)."""
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            return None
+        f.seek(0, 2)
+        size = f.tell()
+        bounds = [0]
+        for s in range(1, nshards):
+            bounds.append(_fastq_sync_point(f, s * size // nshards, size))
+        bounds.append(size)
+    # syncs can collide on tiny files; make monotone
+    for i in range(1, len(bounds)):
+        bounds[i] = max(bounds[i], bounds[i - 1])
+    return bounds
+
+
+def load_fastq_shard(path: str, shard: int, nshards: int, work_dir: str,
+                     spill_name: str | None = None):
+    """Parse only this shard's records into a disk-backed local store.
+
+    Returns (store, n_local_reads). Read ids inside the store are
+    shard-local (0-based); the caller offsets them by the allgathered
+    counts of lower shards. The spill file is written to ``work_dir`` with
+    a deterministic name so peer processes can memmap it (the federated
+    read store). Gzip inputs cannot be byte-range sharded: every process
+    streams the file but packs only its contiguous record-index range
+    (bounded memory, duplicated IO — documented tradeoff).
+    """
+    spill = os.path.join(work_dir, spill_name or f"shard_{shard}.pack")
+    b = ReadStoreBuilder(low_mem=True, work_dir=work_dir)
+    # retarget the spill to the deterministic path
+    b._file.close()
+    os.replace(b._file_path, spill)
+    b._file = open(spill, "wb")
+    b._file_path = spill
+
+    bounds = fastq_shard_bounds(path, nshards)
+    if bounds is not None:
+        lo, hi = bounds[shard], bounds[shard + 1]
+        with open(path, "rb") as f:
+            f.seek(lo)
+            carry = b""
+            left = hi - lo
+            while left > 0:
+                chunk = f.read(min(8 << 20, left))
+                if not chunk:
+                    break
+                left -= len(chunk)
+                buf = carry + chunk
+                nlines = buf.count(b"\n")
+                keep = nlines - (nlines % 4)
+                if keep == 0:
+                    carry = buf
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                nl = np.flatnonzero(arr == ord("\n"))
+                cut = int(nl[keep - 1]) + 1
+                b.add_packed_batch(*_pack_block_native(buf[:cut]))
+                carry = buf[cut:]
+            if carry.strip():
+                b.add_packed_batch(*_pack_block_native(carry))
+    else:
+        # gzip: two-phase stream — count records, then pack own range
+        total = 0
+        for block in _iter_record_blocks(path, chunk_bytes=8 << 20):
+            total += block.count(b"\n") // 4
+        lo_idx = shard * total // nshards
+        hi_idx = (shard + 1) * total // nshards
+        seen = 0
+        for block in _iter_record_blocks(path, chunk_bytes=8 << 20):
+            nrec = block.count(b"\n") // 4
+            if seen + nrec <= lo_idx or seen >= hi_idx:
+                seen += nrec
+                continue
+            # cut the overlap range out of this block
+            arr = np.frombuffer(block, dtype=np.uint8)
+            nl = np.flatnonzero(arr == ord("\n"))
+            a = max(lo_idx - seen, 0)
+            z = min(hi_idx - seen, nrec)
+            start = 0 if a == 0 else int(nl[a * 4 - 1]) + 1
+            end = int(nl[z * 4 - 1]) + 1
+            b.add_packed_batch(*_pack_block_native(block[start:end]))
+            seen += nrec
+    store = b.finish()
+    return store, store.num_reads

@@ -344,6 +344,22 @@ struct Engine {
     }
 
     const Anchors& forward_minimizers(int64_t rid) {
+        if (g_premz.off) {
+            // precomputed tables ARE the cache: copy the slice into a
+            // thread-local scratch instead of duplicating up to 2 GB of
+            // anchors into mz_cache (callers finish with the reference
+            // before their next call on the same thread)
+            static thread_local Anchors tmp;
+            const int64_t b = g_premz.off[rid], e = g_premz.off[rid + 1];
+            const int64_t n = e - b;
+            tmp.h.resize((size_t)n);
+            tmp.p.resize((size_t)n);
+            tmp.f.resize((size_t)n);
+            std::memcpy(tmp.h.data(), g_premz.h + b, (size_t)n * 8);
+            std::memcpy(tmp.p.data(), g_premz.p + b, (size_t)n * 8);
+            std::memcpy(tmp.f.data(), g_premz.f + b, (size_t)n);
+            return tmp;
+        }
         auto it = mz_cache.find(rid);
         if (it != mz_cache.end()) return it->second;
         Anchors a = build_minimizers(rid);
@@ -665,9 +681,10 @@ struct Engine {
             }
             if (picked.empty()) break;
             // candidate minimizer tables not yet cached (dedup: two
-            // contigs can queue the same rid)
+            // contigs can queue the same rid); with precomputed tables
+            // there is nothing to build or cache
             std::vector<int64_t> need;
-            {
+            if (!g_premz.off) {
                 std::unordered_set<int64_t> seen;
                 for (const Item& it : picked)
                     if (!mz_cache.count(it.rid) && seen.insert(it.rid).second)
