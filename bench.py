@@ -69,6 +69,7 @@ def main() -> int:
     arc = os.path.join(work, "bench.nstpu")
     compress_s = float("inf")
     best_stages = {}
+    best_split = {}
     for _ in range(3):
         t0 = time.time()
         res = compressor.compress_file(fq, arc, report=False)
@@ -76,6 +77,7 @@ def main() -> int:
         if dt < compress_s:
             compress_s = dt
             best_stages = {k: round(v, 2) for k, v in res["stage_s"].items()}
+            best_split = res.get("pipe_split", {})
 
     out = os.path.join(work, "bench.reads")
     decompress_s = float("inf")
@@ -108,6 +110,11 @@ def main() -> int:
         # per-stage wall of the fastest run (load / pipeline incl.
         # sketch+join+grow+polish / serialize / codec+archive)
         "stages": best_stages,
+        # the pipeline stage broken open: sketch_join / components / screen
+        # walls plus the engine's own place/dp/apply/polish/emit split and
+        # DP counters (ns_engine_timings) — the round-3 verdict asked for
+        # the 81%-of-wall bucket to be visible from the scoreboard artifact
+        "pipeline_split": best_split,
         # which backend carried the batch DP + the steady-state probe
         # timings when a chip was attached (engine.cpp dp probe)
         **res.get("dp_info", {}),

@@ -125,6 +125,11 @@ def _compress_loaded(store, out_path, cfg, timer, stats, report) -> dict:
         "stage_s": timer.spans,
         "funnel": stats,
     }
+    try:
+        from .pipeline.contigs import PIPE_STAGES as _ps
+        result["pipe_split"] = {k: round(float(v), 3) for k, v in _ps.items()}
+    except Exception:
+        result["pipe_split"] = {}
     if report:
         print(stats.report())
         print(

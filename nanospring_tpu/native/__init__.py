@@ -19,7 +19,7 @@ _LIB: ctypes.CDLL | None = None
 
 _SOURCES = ["align.cpp", "codec.cpp", "fastq.cpp", "replay.cpp",
             "minimizers.cpp", "hot.cpp", "polish.cpp", "join.cpp",
-            "anchors.cpp", "engine.cpp"]
+            "anchors.cpp", "engine.cpp", "sketch.cpp"]
 _SO_NAME = "libnstpu.so"
 
 
@@ -197,6 +197,13 @@ def get_lib() -> ctypes.CDLL:
             dp = ctypes.POINTER(ctypes.c_double)
             lib.ns_engine_probe_info.restype = None
             lib.ns_engine_probe_info.argtypes = [dp, dp, i32p]
+            lib.ns_engine_timings.restype = None
+            lib.ns_engine_timings.argtypes = [ctypes.c_void_p, dp]
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.ns_sketch_reads.restype = None
+            lib.ns_sketch_reads.argtypes = [
+                u8p, i64p, i64p, i64p, i64, u32p, u32p, i64, i64, i64, u32p,
+            ]
             lib.ns_varint_encode.restype = i64
             lib.ns_varint_encode.argtypes = [u64p, i64, u8p]
             lib.ns_varint_decode.restype = i64

@@ -144,6 +144,16 @@ int32_t ns_banded_align(
                 if (chained < row_min) row_min = chained;
             }
             if (row_min > max_cost) return -1;
+            // divergence-slope abort: a genuine overlap accumulates cost
+            // at most ~0.19/row (old-basecaller read vs raw-seed
+            // consensus, both ~10% error), while a wrong-locus pair
+            // tracks ~0.5/row (random DNA), which crosses the 50%
+            // admission budget only at the matrix end — so without this
+            // check every reject pays the full band*len. 0.35/row + 240
+            // (~1.8x the worst genuine slope, burst headroom) aborts
+            // divergent pairs at ~1/3 depth with the same final
+            // accept/reject verdict for anything below the slope.
+            if (row_min > (int32_t)((i * 7) / 20) + 240) return -1;
         }
         std::swap(prev, cur);
     }
@@ -232,7 +242,7 @@ int32_t seg_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     const int64_t width = dhi - dlo + 1;
     if (width <= 0) return -1;
     g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
-    g_stitch_prof[3].fetch_add(width * m, std::memory_order_relaxed);
+    g_stitch_prof[5].fetch_add(width * m, std::memory_order_relaxed);
     SegScratch& s = g_seg;
     s.r0.assign((size_t)(width + 2), INF);
     s.r1.assign((size_t)(width + 2), INF);
@@ -392,7 +402,15 @@ void stitch_dump(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 // is identical to seg_align's; only tie-broken op order can differ.
 // Falls back to seg_align when the wavefront depth exceeds WFA_DCAP
 // (degenerate segments where the area DP is cheaper anyway).
-constexpr int32_t WFA_DCAP = 48;
+// Depth cap before falling back to the area DP. Deep cores are real on
+// repeat-bearing genomes: an overlap through a 90%-identity segmental
+// repeat carries ~0.1 edits/base, so a 500-base core legitimately needs
+// ~50 wavefronts — at the old cap of 48 nearly every such core paid the
+// wavefront AND the full area DP (646M area cells vs 160M wavefront steps
+// on the 60 Mb realistic bench). d*width stays below width*m until d ~ m,
+// so the wavefront is the cheaper path essentially until the budget
+// itself rejects the segment.
+constexpr int32_t WFA_DCAP = 512;
 
 struct WfaScratch {
     std::vector<int32_t> fr;      // (d+1) rows x width furthest-i
@@ -409,8 +427,13 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     const int64_t width = dhi - dlo + 1;
     if (width <= 0) return -1;
     const int32_t dcap = budget < WFA_DCAP ? budget : WFA_DCAP;
-    if ((int64_t)dcap * 2 + 2 >= width + m + n) {
-        // tiny segment: fall straight through to the area DP
+    if (m * n <= 64) {
+        // genuinely tiny segment: the area DP's whole matrix is fewer
+        // cells than one wavefront setup. (A previous budget-based cutoff
+        // here routed ~95% of all gap cores to the area DP — 727M area
+        // cells vs 142M wavefront steps on the 60 Mb realistic bench —
+        // because post-snake-trim cores are usually < 50 bases, exactly
+        // where the d*width wavefront is ~20x cheaper than width*m.)
         return seg_align(t, n, q, m, dlo, dhi, free_start, free_end,
                          budget, ops_out, ops_cap, len, ts, te);
     }

@@ -275,6 +275,10 @@ struct Engine {
     int64_t stat_not_claimed = 0, stat_aligned_ok = 0;
     double t_place = 0, t_dp = 0, t_apply = 0, t_mz = 0;
     double t_dp_stitch = 0, t_dp_full = 0, t_dp_resize = 0;
+    double t_dp_tpu = 0;                // chip time inside dp_run (probes
+                                        // + steady-state batches) — lets the
+                                        // bench explain t_dp beyond the
+                                        // host stitch/full split
     double t_polish = 0;
     double t_placefn = 0;
     int64_t n_dp = 0, dp_bases = 0;
@@ -900,6 +904,7 @@ struct Engine {
                 // host results overwrite and win (determinism kept)
                 const double ta = now_s();
                 const bool ok = dp_run_tpu(bs);
+                t_dp_tpu += now_s() - ta;
                 dp_run_native(bs);
                 tpu_decision = ok ? -1 : 0;
                 t_dp += now_s() - ta;
@@ -914,6 +919,7 @@ struct Engine {
                 const double ta = now_s();
                 const bool ok = dp_run_tpu(bs);
                 const double tpu_s = now_s() - ta;
+                t_dp_tpu += tpu_s;
                 const double tb = now_s();
                 dp_run_native(bs);
                 const double nat_s = now_s() - tb;
@@ -935,6 +941,7 @@ struct Engine {
             if (tpu_decision == 1) {
                 const double t0 = now_s();
                 if (dp_run_tpu(bs)) {
+                    t_dp_tpu += now_s() - t0;
                     t_dp += now_s() - t0;
                     n_dp += (int64_t)bs.batch.size();
                     for (const Placed& p : bs.batch)
@@ -1169,6 +1176,24 @@ void* ns_engine_run(
         e->t_polish = now_s() - tp0;
     }
     if (std::getenv("NS_ENGINE_DEBUG")) {
+        extern void ns_stitch_stats(int64_t*);
+        extern void ns_stitch_prof(int64_t*);
+        int64_t ss[8], sp[8];
+        ns_stitch_stats(ss);
+        ns_stitch_prof(sp);
+        std::fprintf(stderr,
+                     "[engine] stitch prof: pairs %lld verify %.1fMb "
+                     "segcalls %lld wfacells %.1fM areacells %.1fM "
+                     "pins %lld anchors %.1fM\n",
+                     (long long)sp[0], sp[1] / 1e6, (long long)sp[2],
+                     sp[3] / 1e6, sp[5] / 1e6, (long long)sp[4],
+                     sp[6] / 1e6);
+        std::fprintf(stderr,
+                     "[engine] stitch fails: F<2 %lld C<2 %lld head %lld "
+                     "mid %lld tail %lld cost %lld | ok %lld\n",
+                     (long long)ss[0], (long long)ss[1], (long long)ss[2],
+                     (long long)ss[3], (long long)ss[4], (long long)ss[5],
+                     (long long)ss[6]);
         std::fprintf(stderr,
                      "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb: "
                      "stitch %.1f full %.1f) apply %.1fs | retry %lld "
@@ -1228,5 +1253,27 @@ void ns_engine_fetch(void* handle,
 }
 
 void ns_engine_free(void* handle) { delete (Engine*)handle; }
+
+// Per-run stage timings + DP counters for the bench's pipeline split (the
+// reference prints per-stage walls from src/Compressor.cpp:59-82; ours are
+// machine-readable). out[] must hold >= 20 doubles:
+//   0 t_place  1 t_dp  2 t_apply  3 t_polish  4 t_mz  5 t_placefn
+//   6 t_dp_stitch  7 t_dp_full  8 t_dp_tpu  9 t_dp_resize
+//   10 n_dp_pairs  11 dp_bases  12 stitch_bases  13 full_dp_bases
+//   14 n_reject  15 n_retry  16 n_place_fail  17 n_claimed_skip
+//   18-19 reserved (0)
+void ns_engine_timings(void* handle, double* out) {
+    Engine* e = (Engine*)handle;
+    out[0] = e->t_place;      out[1] = e->t_dp;
+    out[2] = e->t_apply;      out[3] = e->t_polish;
+    out[4] = e->t_mz;         out[5] = e->t_placefn;
+    out[6] = e->t_dp_stitch;  out[7] = e->t_dp_full;
+    out[8] = e->t_dp_tpu;     out[9] = e->t_dp_resize;
+    out[10] = (double)e->n_dp;            out[11] = (double)e->dp_bases;
+    out[12] = (double)e->n_stitch_bases;  out[13] = (double)e->n_full_dp_bases;
+    out[14] = (double)e->n_reject;        out[15] = (double)e->n_retry;
+    out[16] = (double)e->n_place_fail;    out[17] = (double)e->n_claimed_skip;
+    out[18] = 0.0;            out[19] = 0.0;
+}
 
 }  // extern "C"

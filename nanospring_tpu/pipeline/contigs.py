@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 
 import numpy as np
 
@@ -51,6 +52,17 @@ _TPU_ATTACHED: bool | None = None
 # last run's DP backend observability (bench/CLI reporting): which backend
 # carried the batch DP, plus the steady-state probe timings when one ran
 DP_INFO: dict = {"dp_backend": "native"}
+
+# last run's pipeline sub-stage walls (seconds) + DP counters — the
+# machine-readable analog of the reference's per-stage stdout report
+# (src/Compressor.cpp:59-82). Populated by build_contigs / the engine's
+# ns_engine_timings; summed across worker processes.
+PIPE_STAGES: dict = {}
+
+
+def _merge_timings(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        dst[k] = dst.get(k, 0.0) + float(v)
 
 
 def _tpu_attached() -> bool:
@@ -75,17 +87,74 @@ class _Member:
     cost: int
 
 
+# sketch backend decision cache (per process, like the engine's DP probe
+# verdict): 1 = chip, 0 = native host sketch. Both backends are
+# bit-identical (native/sketch.cpp implements the exact hash family of
+# ops/sketch.py), so the choice can never change the candidate graph.
+_SKETCH_DECISION: int | None = None
+
+
+def _sketch_native_into(lib, store, rids: np.ndarray, seeds: np.ndarray,
+                        k: int, min_len: int, out: np.ndarray) -> None:
+    """Host MinHash for the given read ids, writing rows of ``out``."""
+    import ctypes
+
+    rids = np.ascontiguousarray(rids, dtype=np.int64)
+    if len(rids) == 0:
+        return
+    packed = store.packed
+    rows = np.empty((len(rids), seeds.shape[0]), dtype=np.uint32)
+    s_lo = np.ascontiguousarray(seeds[:, 0])
+    s_hi = np.ascontiguousarray(seeds[:, 1])
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ns_sketch_reads(
+        packed.ctypes.data_as(u8p), store.offsets.ctypes.data_as(i64p),
+        store.lengths.ctypes.data_as(i64p), rids.ctypes.data_as(i64p),
+        ctypes.c_int64(len(rids)),
+        s_lo.ctypes.data_as(u32p), s_hi.ctypes.data_as(u32p),
+        ctypes.c_int64(seeds.shape[0]), ctypes.c_int64(k),
+        ctypes.c_int64(min_len), rows.ctypes.data_as(u32p))
+    out[rids] = rows
+
+
 def compute_all_sketches(store, cfg: CompressConfig, report: bool = False) -> np.ndarray:
-    """Sketch every read on the accelerator, bucketing by length."""
+    """Sketch every read, choosing chip vs host by a timed probe.
+
+    The chip kernel (ops/sketch.py) and the host path (native/sketch.cpp)
+    produce identical bits; ``NSTPU_SKETCH`` = tpu|native|auto overrides
+    the probe. The probe exists because a tunneled dev chip shows ~50x
+    wall-clock variance between runs (measured round 4); a dedicated chip
+    wins it and keeps the TPU path.
+    """
+    global _SKETCH_DECISION
     N = store.num_reads
     seeds = sk.make_seeds(cfg.num_hashes, cfg.sketch_seed)
     out = np.full((N, cfg.num_hashes), sk.EMPTY_SLOT, dtype=np.uint32)
+    min_len = max(cfg.kmer_size, cfg.min_read_len_for_sketch)
+    mode = os.environ.get("NSTPU_SKETCH", "auto")
+    lib = None
+    if mode != "tpu":
+        try:
+            from .. import native as _nat
+
+            lib = _nat.get_lib()
+        except Exception:
+            lib = None
+    if lib is not None and (mode == "native" or not _tpu_attached()):
+        _sketch_native_into(lib, store, np.arange(N, dtype=np.int64), seeds,
+                            cfg.kmer_size, min_len, out)
+        PIPE_STAGES["sketch_backend_tpu"] = 0.0
+        return out
+
     order = np.argsort(store.lengths, kind="stable")
     # fixed pad buckets limit recompilation: powers of two
+    buckets: list[tuple[np.ndarray, int]] = []
     i = 0
     while i < N:
         L0 = int(store.lengths[order[i]])
-        if L0 < max(cfg.kmer_size, cfg.min_read_len_for_sketch):
+        if L0 < min_len:
             i += 1
             continue
         pad = 1 << max(8, (L0 - 1).bit_length())
@@ -93,19 +162,58 @@ def compute_all_sketches(store, cfg: CompressConfig, report: bool = False) -> np
         j = i
         while j < N and store.lengths[order[j]] <= pad and j - i < cfg.sketch_batch_reads:
             j += 1
-        rids = order[i:j]
+        buckets.append((order[i:j], pad))
+        i = j
+
+    def _chip_bucket(rids: np.ndarray, pad: int) -> np.ndarray:
         pk_batch = (store.get_batch_packed(rids, pad_to=pad)
                     if hasattr(store, "get_batch_packed") else None)
         if pk_batch is not None:
             packed, lens = pk_batch
-            s = np.asarray(sk.sketch_batch_packed(
+            return np.asarray(sk.sketch_batch_packed(
                 packed, lens.astype(np.int32), seeds, k=cfg.kmer_size))
-        else:
-            codes, lens = store.get_batch_padded(rids, pad_to=pad)
-            s = np.asarray(sk.sketch_batch(
-                codes, lens.astype(np.int32), seeds, k=cfg.kmer_size))
-        out[rids] = s
-        i = j
+        codes, lens = store.get_batch_padded(rids, pad_to=pad)
+        return np.asarray(sk.sketch_batch(
+            codes, lens.astype(np.int32), seeds, k=cfg.kmer_size))
+
+    decision = 1  # chip
+    if lib is not None and mode == "auto":
+        if _SKETCH_DECISION is not None:
+            decision = _SKETCH_DECISION
+        elif buckets:
+            # probe on the biggest bucket: host timed, then chip warm-up
+            # (compile + tunnel setup, untimed) + chip timed — the same
+            # warm-then-time shape as the engine's DP probe
+            bi = int(np.argmax([store.lengths[r].sum() for r, _ in buckets]))
+            rids, pad = buckets[bi]
+            t0 = time.perf_counter()
+            _sketch_native_into(lib, store, rids, seeds, cfg.kmer_size,
+                                min_len, out)
+            t_nat = time.perf_counter() - t0
+            try:
+                _chip_bucket(rids, pad)
+                t0 = time.perf_counter()
+                _chip_bucket(rids, pad)
+                t_tpu = time.perf_counter() - t0
+            except Exception:
+                t_tpu = float("inf")
+            decision = 1 if t_tpu < t_nat else 0
+            _SKETCH_DECISION = decision
+            PIPE_STAGES["sketch_probe_tpu_s"] = round(t_tpu, 4)
+            PIPE_STAGES["sketch_probe_native_s"] = round(t_nat, 4)
+            if report:
+                print(f"[nstpu] sketch probe: tpu {t_tpu:.3f}s native "
+                      f"{t_nat:.3f}s -> {'tpu' if decision else 'native'}")
+            buckets = buckets[:bi] + buckets[bi + 1:]  # probe bucket done
+    PIPE_STAGES["sketch_backend_tpu"] = float(decision)
+    if decision == 0:
+        rest = (np.concatenate([r for r, _ in buckets])
+                if buckets else np.zeros(0, np.int64))
+        _sketch_native_into(lib, store, rest, seeds, cfg.kmer_size, min_len,
+                            out)
+        return out
+    for rids, pad in buckets:
+        out[rids] = _chip_bucket(rids, pad)
     return out
 
 
@@ -1122,6 +1230,7 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
         r_ = np.concatenate(pairs_r) if pairs_r else np.zeros(0, np.int64)
         return q_, r_
 
+    _t0 = time.perf_counter()
     pq, pr = _sketch_and_join(cfg)
     # Adaptive recovery for high-error data (hs1-like old basecaller):
     # k=23 minhash sketches barely collide at ~10% error, so a sparse
@@ -1144,6 +1253,8 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
                       f"{len(pq2)} pairs")
             pq, pr = pq2, pr2
     stats.minhash_hits += len(pq)
+    _merge_timings(PIPE_STAGES, {"sketch_join": time.perf_counter() - _t0})
+    _t0 = time.perf_counter()
 
     # adjacency CSR over both directions
     src = np.concatenate([pq, pr])
@@ -1170,8 +1281,11 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     boundaries = np.zeros(n_comp + 1, dtype=np.int64)
     np.cumsum(comp_sizes, out=boundaries[1:])
 
+    _merge_timings(PIPE_STAGES, {"components": time.perf_counter() - _t0})
+    _t0 = time.perf_counter()
     rep = repetitive_screen(store, cfg)
     stats.repetitive = int(rep.sum())
+    _merge_timings(PIPE_STAGES, {"screen": time.perf_counter() - _t0})
     premz = None
     if premz_fut is not None:
         try:
@@ -1369,6 +1483,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
     ctot = ctypes.c_int64()
     otot = ctypes.c_int64()
     st2 = np.zeros(2, np.int64)
+    _t_eng = time.perf_counter()
     h = lib.ns_engine_run(
         packed.ctypes.data_as(u8p), c64(store.offsets), c64(store.lengths),
         ctypes.c_int64(store.num_reads),
@@ -1380,6 +1495,19 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         ctypes.byref(otot), c64(st2),
     )
     try:
+        _eng_wall = time.perf_counter() - _t_eng
+        _tim = np.zeros(20, np.float64)
+        lib.ns_engine_timings(ctypes.c_void_p(h),
+                              _tim.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_double)))
+        timings = {
+            "place": _tim[0], "dp": _tim[1], "apply": _tim[2],
+            "polish": _tim[3], "dp_stitch": _tim[6], "dp_full": _tim[7],
+            "dp_tpu": _tim[8], "engine_wall": _eng_wall,
+            "dp_pairs": _tim[10], "dp_bases": _tim[11],
+            "stitch_bases": _tim[12], "full_dp_bases": _tim[13],
+            "dp_rejects": _tim[14], "dp_retries": _tim[15],
+        }
         C, M = nc.value, nm.value
         cons_flat = np.empty(ctot.value, np.uint8)
         cons_len = np.empty(C, np.int64)
@@ -1427,6 +1555,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         # flat layout the serializer wants — extract edit streams directly
         # instead of materializing per-member Python objects only to
         # re-flatten them in _emit_group (measured ~1s on the 60 Mb bench)
+        _t_emit = time.perf_counter()
         ops_off = np.zeros(M + 1, np.int64)
         np.cumsum(ops_len, out=ops_off[1:])
         codes_len = (store.lengths[rid].astype(np.int64) if M
@@ -1456,12 +1585,14 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         for c in range(C):
             consensus_list.append(cons_flat[cpos: cpos + int(cons_len[c])])
             cpos += int(cons_len[c])
+        timings["emit"] = time.perf_counter() - _t_emit
         return {
             "consensus_list": consensus_list,
             "reads_per_contig": m_cnt,
             "ids": rid,
             "strand": strand,
             "es": es,
+            "timings": timings,
         }
 
     states = []
@@ -1485,7 +1616,11 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
     # structures — no flatten/fetch round trip here
     if cfg.checks:
         check_contigs(states, store)
-    return _emit_group(states, store)
+    _t_emit = time.perf_counter()
+    g = _emit_group(states, store)
+    timings["emit"] = time.perf_counter() - _t_emit
+    g["timings"] = timings
+    return g
 
 
 def _grow_components(store, cfg: CompressConfig, stats: FunnelStats,
@@ -1579,6 +1714,7 @@ def build_contigs(
     store, cfg: CompressConfig, stats: FunnelStats, report: bool = True
 ) -> tuple[list[ContigBatch], np.ndarray]:
     N = store.num_reads
+    PIPE_STAGES.clear()
     # dataset-scaled knobs: short-read datasets need a denser anchor set
     # and a reachable overlap floor (config.py effective_*)
     cfg = dataclasses.replace(
@@ -1659,6 +1795,7 @@ def build_contigs(
     member_mask = np.zeros(N, dtype=bool)
     for g in groups:
         member_mask[g["ids"]] = True
+        _merge_timings(PIPE_STAGES, g.pop("timings", {}))
     lone = np.flatnonzero(~member_mask)
 
     # combine all groups into one ContigBatch

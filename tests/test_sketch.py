@@ -58,3 +58,39 @@ def test_sketch_overlap_detection():
     random_hits = int((out[0] == out[2]).sum())
     assert overlap_hits >= 6, f"expected >=6 shared slots, got {overlap_hits}"
     assert random_hits < 6, f"unrelated reads shared {random_hits} slots"
+
+
+def test_native_sketch_bit_identical():
+    """native/sketch.cpp must match the JAX kernel exactly — the probe's
+    backend choice must never change the candidate graph."""
+    import ctypes
+
+    from nanospring_tpu import native
+    from nanospring_tpu.io.read_store import ReadStore
+    from nanospring_tpu.pipeline.contigs import _sketch_native_into
+
+    lib = native.get_lib()
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=n))
+            for n in [40, 64, 513, 23, 22, 5, 1000]]
+    packed_parts, offsets, lengths = [], [], []
+    off = 0
+    for s in seqs:
+        c = pk.seq_to_codes(s)
+        p = pk.pack_codes(c)
+        packed_parts.append(p)
+        offsets.append(off)
+        off += len(p)
+        lengths.append(len(c))
+    store = ReadStore(np.concatenate(packed_parts),
+                      np.array(offsets, np.int64),
+                      np.array(lengths, np.int64),
+                      np.zeros(0, np.int64), np.zeros(0, np.int64),
+                      np.zeros(0, np.uint8))
+    seeds = sketch.make_seeds(60, 123)
+    out = np.full((len(seqs), 60), sketch.EMPTY_SLOT, dtype=np.uint32)
+    _sketch_native_into(lib, store, np.arange(len(seqs), dtype=np.int64),
+                        seeds, 23, 23, out)
+    codes, lens = _pad_batch(seqs, 1024)
+    jax_out = np.asarray(sketch.sketch_batch(codes, lens, seeds, k=23))
+    np.testing.assert_array_equal(out, jax_out)
