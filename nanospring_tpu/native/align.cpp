@@ -215,9 +215,13 @@ namespace {
 // [2] head -1, [3] middle -1, [4] tail -1, [5] budget -1, [6] ok
 std::atomic<int64_t> g_stitch_stats[8];
 // profile counters: [0] pairs, [1] verify bases, [2] seg calls,
-// [3] seg cells, [4] chain pins total, [5] head/tail seg cells,
+// [3] wavefront steps, [4] chain pins total, [5] area-DP cells,
 // [6] in-band filter anchors scanned
 std::atomic<int64_t> g_stitch_prof[8];
+// core-reseed diagnostics: [0] calls, [1] ok, [2] budget rejects,
+// [3] no-pins fallbacks, [4] area cells via WFA_DCAP fallback,
+// [5] -, [6] WFA_DCAP fallback count
+std::atomic<int64_t> g_core_prof[8];
 
 struct SegScratch {
     std::vector<int32_t> r0, r1;
@@ -426,7 +430,7 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 {
     const int64_t width = dhi - dlo + 1;
     if (width <= 0) return -1;
-    const int32_t dcap = budget < WFA_DCAP ? budget : WFA_DCAP;
+    const int32_t dcap = budget;
     if (m * n <= 64) {
         // genuinely tiny segment: the area DP's whole matrix is fewer
         // cells than one wavefront setup. (A previous budget-based cutoff
@@ -444,10 +448,21 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         s.fr.resize((size_t)((dcap + 1) * width));
     int32_t* f0 = s.fr.data();
 
-    // snake: advance i while in range and bases match (j = i + k)
+    // snake: advance i while in range and bases match (j = i + k);
+    // 8 bases per compare via xor+ctz (snakes average ~1/error-rate bases,
+    // and this loop is the wavefront's inner hot path)
     auto snake = [&](int64_t i, int64_t k) -> int64_t {
         const uint8_t* tp = t + k;
-        while (i < m && i + k < n && tp[i] == q[i]) ++i;
+        const int64_t lim = m < n - k ? m : n - k;
+        while (i + 8 <= lim) {
+            uint64_t a, b;
+            std::memcpy(&a, tp + i, 8);
+            std::memcpy(&b, q + i, 8);
+            const uint64_t x = a ^ b;
+            if (x) return i + (__builtin_ctzll(x) >> 3);
+            i += 8;
+        }
+        while (i < lim && tp[i] == q[i]) ++i;
         return i;
     };
 
@@ -473,39 +488,40 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         if (f0[x] >= 0 && at_end(x + dlo, f0[x])) {
             done = true; done_k = x + dlo; done_d = 0; break;
         }
+    const int64_t absdn = n - m < 0 ? m - n : n - m;
     int32_t d = 0;
     while (!done) {
-        if (d >= dcap) {
-            if (budget > WFA_DCAP)   // genuine deep segment: area DP
-                return seg_align(t, n, q, m, dlo, dhi, free_start, free_end,
-                                 budget, ops_out, ops_cap, len, ts, te);
-            return -1;               // budget exhausted: reject
-        }
+        if (d >= dcap) return -1;    // budget exhausted: reject
         const int32_t* pv = s.fr.data() + (int64_t)d * width;
         int32_t* cv = s.fr.data() + (int64_t)(d + 1) * width;
         d += 1;
         g_stitch_prof[3].fetch_add(width, std::memory_order_relaxed);
+        int32_t max_i = 0;
         for (int64_t x = 0; x < width; ++x) {
             const int64_t k = x + dlo;
-            // candidates individually validity-checked (0 <= i <= m,
-            // j = i + k <= n); all reachable points already have j >= 0
-            int32_t best = NEG;
+            // candidates validity-checked (0 <= i <= m, j = i + k <= n);
+            // NEG lanes fall through the comparisons and land below 0
             const int32_t ps = pv[x];                              // sub
-            if (ps >= 0 && ps < m && ps + 1 + k <= n && ps + 1 > best)
-                best = ps + 1;
-            if (x + 1 < width) {                                   // query-only
-                const int32_t pi = pv[x + 1];
-                if (pi >= 0 && pi < m && pi + 1 > best) best = pi + 1;
-            }
-            if (x > 0) {                                           // target-only
-                const int32_t pd = pv[x - 1];
-                if (pd >= 0 && pd + k <= n && pd > best) best = pd;
-            }
+            const int32_t pi = x + 1 < width ? pv[x + 1] : NEG;    // query-only
+            const int32_t pd = x > 0 ? pv[x - 1] : NEG;            // target-only
+            const int32_t c1 = (ps < m && ps + 1 + k <= n) ? ps + 1 : NEG;
+            const int32_t c2 = pi < m ? pi + 1 : NEG;
+            const int32_t c3 = pd + k <= n ? pd : NEG;
+            int32_t best = c1 > c2 ? c1 : c2;
+            if (c3 > best) best = c3;
             if (best < 0) { cv[x] = NEG; continue; }
             best = (int32_t)snake(best, k);
             cv[x] = best;
+            if (best > max_i) max_i = best;
             if (!done && at_end(k, best)) { done = true; done_k = k; done_d = d; }
         }
+        // divergence-slope abort (the wavefront analog of ns_banded_align's):
+        // a genuine overlap needs ~<0.2 edits per query base, a wrong-locus
+        // core ~0.5 — without this, every divergent core walks the wavefront
+        // to the full admission budget (d*width steps). |n-m| allows the
+        // net-indel cost; 100 is burst headroom.
+        if (!done && d > (int32_t)((7LL * max_i) / 20 + 100 + absdn))
+            return -1;
     }
 
     // traceback through the stored wavefronts
@@ -553,6 +569,170 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     *te = free_end ? (m + done_k) : n;
     return done_d;
 }
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Second-round seeding for deep gap cores — the same idea as minimap2's
+// re-seeding of long inter-anchor gaps (minimap2's role in the reference,
+// SURVEY §2.3): a multi-kb gap between chain pins (typical when the chain
+// skips a divergent segmental repeat) would otherwise pay d*width wavefront
+// steps AND often a width*m area-DP fallback (~0.8M cells per core; ~500
+// such cores accounted for most of the stitch time on the 60 Mb realistic
+// bench). Exact 16-mer matches inside the core re-pin it, and the small
+// sub-gaps go back to the wavefront.
+// ---------------------------------------------------------------------------
+constexpr int64_t CORE_RESEED_CELLS = 16384; // re-anchor cores above this
+constexpr int CORE_K = 16;                   // seed length (exact 32-bit kmer)
+
+struct CoreScratch {
+    std::vector<uint32_t> key;
+    std::vector<int32_t> val;      // 0 empty, -1 ambiguous, else qpos+1
+    std::vector<int64_t> mq, mt;
+    std::vector<int32_t> cf;
+    std::vector<int64_t> cpar, cq2, ct2;
+};
+thread_local CoreScratch g_cs;
+
+// Aligns q[0..m) to t[0..n) with the given end freedoms, diagonal band
+// [dlo, dhi]. Appends ops at *len. Returns cost >= 0; -1 reject (budget);
+// -3 = no usable internal pins, caller should run the plain wavefront.
+int32_t core_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+                   int64_t dlo, int64_t dhi, bool free_start, bool free_end,
+                   int32_t budget,
+                   uint8_t* ops_out, int64_t ops_cap, int64_t* len,
+                   int64_t* ts, int64_t* te)
+{
+    if (m < 3 * CORE_K || n < 3 * CORE_K) return -3;
+    g_core_prof[0].fetch_add(1, std::memory_order_relaxed);
+    CoreScratch& s = g_cs;
+    // query 16-mer table (open addressing, power-of-two size); ambiguous
+    // (repeated) k-mers are dropped — a repeat seed would mis-pin exactly
+    // the cores this path exists for
+    int64_t cap = 1;
+    while (cap < 2 * (m - CORE_K + 1)) cap <<= 1;
+    if ((int64_t)s.key.size() < cap) { s.key.resize((size_t)cap); }
+    s.val.assign((size_t)cap, 0);
+    const uint64_t hmul = 0x9E3779B97F4A7C15ULL;
+    uint32_t km = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        km = (km << 2) | q[i];
+        if (i < CORE_K - 1) continue;
+        const int64_t qp = i - (CORE_K - 1);
+        uint64_t h = ((uint64_t)km * hmul) >> 32;
+        int64_t x = (int64_t)(h & (uint64_t)(cap - 1));
+        while (true) {
+            if (s.val[(size_t)x] == 0) {
+                s.key[(size_t)x] = km;
+                s.val[(size_t)x] = (int32_t)qp + 1;
+                break;
+            }
+            if (s.key[(size_t)x] == km) {
+                s.val[(size_t)x] = -1;
+                break;
+            }
+            x = (x + 1) & (cap - 1);
+        }
+    }
+    // scan target, collect in-band unambiguous matches (sorted by tp)
+    s.mq.clear();
+    s.mt.clear();
+    km = 0;
+    for (int64_t j = 0; j < n; ++j) {
+        km = (km << 2) | t[j];
+        if (j < CORE_K - 1) continue;
+        const int64_t tp = j - (CORE_K - 1);
+        uint64_t h = ((uint64_t)km * hmul) >> 32;
+        int64_t x = (int64_t)(h & (uint64_t)(cap - 1));
+        while (s.val[(size_t)x] != 0) {
+            if (s.key[(size_t)x] == km) {
+                if (s.val[(size_t)x] > 0) {
+                    const int64_t qp = s.val[(size_t)x] - 1;
+                    const int64_t diag = tp - qp;
+                    if (diag >= dlo && diag <= dhi) {
+                        s.mq.push_back(qp);
+                        s.mt.push_back(tp);
+                    }
+                }
+                break;
+            }
+            x = (x + 1) & (cap - 1);
+        }
+    }
+    const int64_t F = (int64_t)s.mq.size();
+    if (F < 1) { g_core_prof[3].fetch_add(1, std::memory_order_relaxed); return -3; }
+    // bounded-lookback monotone chain (the main stitch chain's rules;
+    // pins must clear each other by CORE_K so each contributes CORE_K '=')
+    constexpr int64_t JUMP_MAX = 64, LOOKBACK = 32;
+    s.cf.assign((size_t)F, 1);
+    s.cpar.assign((size_t)F, -1);
+    int64_t best_i = 0;
+    for (int64_t i = 1; i < F; ++i) {
+        const int64_t lo = i - LOOKBACK < 0 ? 0 : i - LOOKBACK;
+        const int64_t di = s.mt[(size_t)i] - s.mq[(size_t)i];
+        for (int64_t j = i - 1; j >= lo; --j) {
+            if (s.cf[(size_t)j] + 1 <= s.cf[(size_t)i]) continue;
+            if (s.mq[(size_t)j] + CORE_K > s.mq[(size_t)i]) continue;
+            if (s.mt[(size_t)j] + CORE_K > s.mt[(size_t)i]) continue;
+            const int64_t dj = s.mt[(size_t)j] - s.mq[(size_t)j];
+            if (di - dj > JUMP_MAX || dj - di > JUMP_MAX) continue;
+            s.cf[(size_t)i] = s.cf[(size_t)j] + 1;
+            s.cpar[(size_t)i] = j;
+        }
+        if (s.cf[(size_t)i] > s.cf[(size_t)best_i]) best_i = i;
+    }
+    s.cq2.clear();
+    s.ct2.clear();
+    for (int64_t x = best_i; x >= 0; x = s.cpar[(size_t)x]) {
+        s.cq2.push_back(s.mq[(size_t)x]);
+        s.ct2.push_back(s.mt[(size_t)x]);
+        if (s.cpar[(size_t)x] < 0) break;
+    }
+    std::reverse(s.cq2.begin(), s.cq2.end());
+    std::reverse(s.ct2.begin(), s.ct2.end());
+    const int64_t C = (int64_t)s.cq2.size();
+    if (C < 1) { g_core_prof[3].fetch_add(1, std::memory_order_relaxed); return -3; }
+
+    int32_t cost = 0;
+    int64_t pq = 0, pt = 0;      // consumed prefix (query, target)
+    const int64_t len0 = *len;   // restored on any failure so the caller's
+                                 // fallback path appends to a clean buffer
+    *ts = 0;
+    *te = n;
+    for (int64_t x = 0; x <= C; ++x) {
+        const int64_t gq_end = x < C ? s.cq2[(size_t)x] : m;
+        const int64_t gt_end = x < C ? s.ct2[(size_t)x] : n;
+        const int64_t gq = gq_end - pq, gt = gt_end - pt;
+        if (gq < 0 || gt < 0) { *len = len0; return -3; }
+        if (gq > 0 || gt > 0) {
+            const int64_t dn = gt - gq;
+            const int64_t pad =
+                std::min<int64_t>(128, 4 + (gq > gt ? gq : gt) / 24);
+            int64_t sts = 0, ste = 0;
+            const bool fs = free_start && x == 0;
+            const bool fe = free_end && x == C;
+            const int32_t c1 = wfa_seg(
+                t + pt, gt, q + pq, gq,
+                (dn < 0 ? dn : 0) - pad, (dn > 0 ? dn : 0) + pad,
+                fs, fe, budget - cost, ops_out, ops_cap, len, &sts, &ste);
+            if (c1 < 0) { *len = len0; g_core_prof[2].fetch_add(1, std::memory_order_relaxed); return -1; }
+            cost += c1;
+            if (fs) *ts = sts;
+            if (fe) *te = pt + ste;
+        }
+        if (x < C) {
+            if (*len + CORE_K > ops_cap) { *len = len0; return -1; }
+            std::memset(ops_out + *len, '=', CORE_K);
+            *len += CORE_K;
+            pq = gq_end + CORE_K;
+            pt = gt_end + CORE_K;
+        }
+    }
+    g_core_prof[1].fetch_add(1, std::memory_order_relaxed);
+    return cost;
+}
+
+}  // namespace
 
 int32_t ns_stitch_align(
     const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
@@ -628,12 +808,20 @@ int32_t ns_stitch_align(
         // if the query head overhangs the target start (n1 < hq), the path
         // climbs j == 0 with leading inserts: j - i spans up to 0 there
         int64_t sts = 0, ste = 0;
-        const int32_t c1 = wfa_seg(
-            t + ts0, n1, q, hq,
-            (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
-            /*free_start=*/true,
-            /*free_end=*/false, max_cost - cost,
-            ops_out, ops_cap, &len, &sts, &ste);
+        int32_t c1 = -3;
+        if (hq * n1 >= CORE_RESEED_CELLS)
+            c1 = core_align(
+                t + ts0, n1, q, hq,
+                (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
+                true, false, max_cost - cost,
+                ops_out, ops_cap, &len, &sts, &ste);
+        if (c1 == -3)
+            c1 = wfa_seg(
+                t + ts0, n1, q, hq,
+                (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
+                /*free_start=*/true,
+                /*free_end=*/false, max_cost - cost,
+                ops_out, ops_cap, &len, &sts, &ste);
         if (c1 < 0) {
             g_stitch_stats[2]++;
             stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 2);
@@ -682,12 +870,21 @@ int32_t ns_stitch_align(
             const int64_t pad =
                 std::min<int64_t>(W, 4 + std::max(cq1, ct1) / 24);
             int64_t sts = 0, ste = 0;
-            const int32_t c1 = wfa_seg(
-                tp + pre, ct1, qp + pre, cq1,
-                std::min<int64_t>(0, dn) - pad,
-                std::max<int64_t>(0, dn) + pad,
-                /*free_start=*/false, /*free_end=*/false, max_cost - cost,
-                ops_out, ops_cap, &len, &sts, &ste);
+            int32_t c1 = -3;
+            if (cq1 * ct1 >= CORE_RESEED_CELLS)
+                c1 = core_align(
+                    tp + pre, ct1, qp + pre, cq1,
+                    std::min<int64_t>(0, dn) - pad,
+                    std::max<int64_t>(0, dn) + pad,
+                    false, false, max_cost - cost,
+                    ops_out, ops_cap, &len, &sts, &ste);
+            if (c1 == -3)
+                c1 = wfa_seg(
+                    tp + pre, ct1, qp + pre, cq1,
+                    std::min<int64_t>(0, dn) - pad,
+                    std::max<int64_t>(0, dn) + pad,
+                    /*free_start=*/false, /*free_end=*/false, max_cost - cost,
+                    ops_out, ops_cap, &len, &sts, &ste);
             if (c1 < 0) { g_stitch_stats[3]++; return -1; }
             cost += c1;
         }
@@ -704,12 +901,20 @@ int32_t ns_stitch_align(
         // if the query tail overhangs the target end (n1 < tq), the path
         // descends j == n1 with trailing inserts: j - i reaches n1 - tq
         int64_t sts = 0, ste = 0;
-        const int32_t c1 = wfa_seg(
-            t + ct.back(), n1, q + cq.back(), tq,
-            std::min<int64_t>(0, n1 - tq) - pad, pad,
-            /*free_start=*/false, /*free_end=*/true,
-            max_cost - cost,
-            ops_out, ops_cap, &len, &sts, &ste);
+        int32_t c1 = -3;
+        if (tq * n1 >= CORE_RESEED_CELLS)
+            c1 = core_align(
+                t + ct.back(), n1, q + cq.back(), tq,
+                std::min<int64_t>(0, n1 - tq) - pad, pad,
+                false, true, max_cost - cost,
+                ops_out, ops_cap, &len, &sts, &ste);
+        if (c1 == -3)
+            c1 = wfa_seg(
+                t + ct.back(), n1, q + cq.back(), tq,
+                std::min<int64_t>(0, n1 - tq) - pad, pad,
+                /*free_start=*/false, /*free_end=*/true,
+                max_cost - cost,
+                ops_out, ops_cap, &len, &sts, &ste);
         if (c1 < 0) {
             g_stitch_stats[4]++;
             stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 4);
@@ -735,6 +940,11 @@ void ns_stitch_stats(int64_t* out8)
 void ns_stitch_prof(int64_t* out8)
 {
     for (int i = 0; i < 8; ++i) out8[i] = g_stitch_prof[i].load();
+}
+
+void ns_core_prof(int64_t* out8)
+{
+    for (int i = 0; i < 8; ++i) out8[i] = g_core_prof[i].load();
 }
 
 // Batch interface: pairs share flat code buffers. Returns number of pairs

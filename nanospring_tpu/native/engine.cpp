@@ -1178,9 +1178,16 @@ void* ns_engine_run(
     if (std::getenv("NS_ENGINE_DEBUG")) {
         extern void ns_stitch_stats(int64_t*);
         extern void ns_stitch_prof(int64_t*);
-        int64_t ss[8], sp[8];
+        extern void ns_core_prof(int64_t*);
+        int64_t ss[8], sp[8], cp[8];
         ns_stitch_stats(ss);
         ns_stitch_prof(sp);
+        ns_core_prof(cp);
+        std::fprintf(stderr,
+                     "[engine] core reseed: calls %lld ok %lld rej %lld "
+                     "nopins %lld | dcap falls %lld cells %.1fM\n",
+                     (long long)cp[0], (long long)cp[1], (long long)cp[2],
+                     (long long)cp[3], (long long)cp[6], cp[4] / 1e6);
         std::fprintf(stderr,
                      "[engine] stitch prof: pairs %lld verify %.1fMb "
                      "segcalls %lld wfacells %.1fM areacells %.1fM "

@@ -131,4 +131,38 @@ void ns_join_fetch(void* handle, int64_t* q_out, int64_t* r_out,
 
 void ns_join_free(void* handle) { delete (JoinResult*)handle; }
 
+// Connected components of the candidate pair graph by union-find —
+// replaces scipy.sparse.csgraph.connected_components in the hot path
+// (~0.6 s of CSR build + BFS on the 60 Mb bench vs ~10 ms here). Labels
+// are assigned in first-seen node order, same convention as scipy's, so
+// downstream bincount/argsort bookkeeping is unchanged. Returns the
+// component count.
+int64_t ns_components(const int64_t* src, const int64_t* dst, int64_t E,
+                      int64_t N, int64_t* comp_of)
+{
+    std::vector<int64_t> parent((size_t)N);
+    for (int64_t i = 0; i < N; ++i) parent[(size_t)i] = i;
+    auto find = [&](int64_t x) {
+        int64_t r = x;
+        while (parent[(size_t)r] != r) r = parent[(size_t)r];
+        while (parent[(size_t)x] != r) {
+            int64_t nx = parent[(size_t)x];
+            parent[(size_t)x] = r;
+            x = nx;
+        }
+        return r;
+    };
+    for (int64_t e = 0; e < E; ++e) {
+        int64_t a = find(src[e]);
+        int64_t b = find(dst[e]);
+        if (a != b) parent[(size_t)(a < b ? b : a)] = a < b ? a : b;
+    }
+    int64_t n_comp = 0;
+    for (int64_t i = 0; i < N; ++i) {
+        const int64_t r = find(i);
+        comp_of[i] = (r == i) ? n_comp++ : comp_of[r];
+    }
+    return n_comp;
+}
+
 }  // extern "C"

@@ -1269,13 +1269,28 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     # owner-computes partition that shards contig building across workers
     # here and across hosts at scale (replaces the reference's shared
     # inGraph[] + striped locks, src/Consensus.cpp:256-277,444-468)
-    import scipy.sparse as sp
-    from scipy.sparse import csgraph
+    try:
+        import ctypes
 
-    g = sp.csr_matrix(
-        (np.ones(len(src), dtype=np.int8), (src, dst)), shape=(N, N)
-    )
-    n_comp, comp_of = csgraph.connected_components(g, directed=False)
+        from .. import native as _nat
+
+        _lib = _nat.get_lib()
+        comp_of = np.empty(N, dtype=np.int64)
+        _pq = np.ascontiguousarray(pq, dtype=np.int64)
+        _pr = np.ascontiguousarray(pr, dtype=np.int64)
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        n_comp = int(_lib.ns_components(
+            _pq.ctypes.data_as(_i64p), _pr.ctypes.data_as(_i64p),
+            ctypes.c_int64(len(_pq)), ctypes.c_int64(N),
+            comp_of.ctypes.data_as(_i64p)))
+    except Exception:
+        import scipy.sparse as sp
+        from scipy.sparse import csgraph
+
+        g = sp.csr_matrix(
+            (np.ones(len(src), dtype=np.int8), (src, dst)), shape=(N, N)
+        )
+        n_comp, comp_of = csgraph.connected_components(g, directed=False)
     comp_sizes = np.bincount(comp_of, minlength=n_comp)
     comp_order = np.argsort(comp_of, kind="stable")
     boundaries = np.zeros(n_comp + 1, dtype=np.int64)
