@@ -931,6 +931,29 @@ int32_t ns_stitch_align(
     return cost;
 }
 
+// Glocal whole-pair aligner on the wavefront: the escalated full-band
+// retry's fast path (ns_banded_align semantics — query consumed fully,
+// target start/end free inside the +-W band around d0 — but cost scales
+// with edits^2-ish instead of band*len; the escalations are ~half genuine
+// at ~10% divergence, where this is ~5-10x cheaper than the area DP).
+int32_t ns_wfa_align(
+    const uint8_t* target, int64_t n,
+    const uint8_t* query, int64_t m,
+    int64_t d0, int32_t W, int32_t max_cost,
+    uint8_t* ops_out, int64_t ops_cap, int64_t* ops_len,
+    int64_t* tstart_out, int64_t* tend_out)
+{
+    int64_t len = 0;
+    const int32_t c = wfa_seg(target, n, query, m,
+                              d0 - W, d0 + W,
+                              /*free_start=*/true, /*free_end=*/true,
+                              max_cost, ops_out, ops_cap, &len,
+                              tstart_out, tend_out);
+    if (c < 0) return -1;
+    *ops_len = len;
+    return c;
+}
+
 // NS_ENGINE_DEBUG diagnostics for the stitched path.
 void ns_stitch_stats(int64_t* out8)
 {

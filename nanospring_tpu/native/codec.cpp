@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 
 namespace {
@@ -791,8 +792,20 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   auto code_block = [](const uint8_t* src, int64_t m,
                        std::vector<uint8_t>& payload,
                        uint32_t* primary) -> uint8_t {
+    const bool dbg = std::getenv("NSTPU_CODEC_DEBUG") != nullptr;
+    auto now = []() {
+      struct timespec t;
+      clock_gettime(CLOCK_MONOTONIC, &t);
+      return t.tv_sec + 1e-9 * t.tv_nsec;
+    };
+    double t0 = dbg ? now() : 0;
     std::vector<uint8_t> bwt((size_t)m);
     *primary = bwt_forward(src, m, bwt.data());
+    if (dbg) {
+      std::fprintf(stderr, "[codec] bwt %.3fs (%lld bytes)\n", now() - t0,
+                   (long long)m);
+      t0 = now();
+    }
     uint8_t amap[256];
     uint8_t alpha[256];
     bool seen[256] = {};
@@ -802,12 +815,18 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
       if (seen[c]) { amap[c] = uint8_t(K); alpha[K++] = uint8_t(c); }
     payload.clear();
     payload.reserve(size_t(m / 2 + 64));
+    uint8_t r;
     if (K <= 16) {
       coder3_encode(bwt.data(), m, K, alpha, amap, payload);
-      return 2;
+      r = 2;
+    } else {
+      coder2_encode(bwt.data(), m, payload);
+      r = 1;
     }
-    coder2_encode(bwt.data(), m, payload);
-    return 1;
+    if (dbg)
+      std::fprintf(stderr, "[codec] coder%d %.3fs -> %lld\n", r == 2 ? 3 : 2,
+                   now() - t0, (long long)payload.size());
+    return r;
   };
 
   std::vector<uint8_t> lz;
@@ -817,7 +836,11 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   uint8_t mode = code_block(in, n, payload, &primary);
   bool use_lzp = false;
   int64_t m = n;
-  if (int64_t(lz.size()) + 64 < n) {
+  // second coding pass only when LZP removed >= 2% of the bytes: the
+  // decision costs a full extra BWT+coder pass, and a sub-percent LZP
+  // shrink never survives the final-size comparison (measured on the pos
+  // stream: 1.2% shrink, 0.09% final difference, 2x the codec time)
+  if (int64_t(lz.size()) + n / 50 < n) {
     std::vector<uint8_t> payload2;
     uint32_t primary2;
     const uint8_t coder2m =

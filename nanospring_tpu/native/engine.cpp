@@ -58,6 +58,9 @@ int64_t ns_accept_anchors(const uint8_t*, int64_t, int64_t, int64_t, int32_t,
                           int32_t, const uint64_t*, const int64_t*,
                           const uint8_t*, int64_t,
                           uint64_t*, int64_t*, uint8_t*);
+int32_t ns_wfa_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                    int64_t, int32_t, int32_t,
+                    uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
 int32_t ns_banded_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
                         int64_t, int32_t, int32_t,
                         uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
