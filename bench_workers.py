@@ -1,0 +1,144 @@
+"""Worker / process scaling curves (round-3 verdict ask #1b).
+
+Two curves, both committed as SCALING.json:
+
+1. ``pipeline_workers`` 1/2/4 on the 60 Mb realistic dataset — the analog
+   of the reference's thread curve (/root/reference/logs/2022/
+   hs2_threads.log:4-348: 5/10/20/30 threads, 32,277 -> 9,420 s, ~57%
+   efficiency at 6x). Each worker is one subprocess running the C++
+   engine over its owned components (owner-computes over overlap
+   components — the same partition that ships components to hosts at
+   scale).
+2. ``compress_distributed`` nproc 1/2/4 over jax.distributed on the
+   virtual CPU mesh (collectives over Gloo), recording wall + scaling
+   efficiency.
+
+Caveat recorded in the JSON: this host has 2 physical cores, so ideal
+scaling saturates at 2 workers; the curve still demonstrates the
+partition does not degrade (no coordination, no lock contention) and the
+distributed layer's overhead.
+
+Usage: python bench_workers.py   (~10 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env():
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env.setdefault("NSTPU_SKETCH", "native")
+    env["NSTPU_TPU_PROBE"] = "0"
+    return env
+
+
+def worker_curve(fq: str, total_bases: int) -> dict:
+    out = {}
+    for w in (1, 2, 4):
+        arc = fq + f".w{w}.nstpu"
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            r = subprocess.run(
+                [sys.executable, "-m", "nanospring_tpu.cli", "-c",
+                 "-i", fq, "-o", arc, "--workers", str(w)],
+                env=_env(), capture_output=True)
+            assert r.returncode == 0, r.stderr.decode()[-2000:]
+            best = min(best, time.time() - t0)
+        out[str(w)] = {"wall_s": round(best, 1),
+                       "mbases_s": round(total_bases / best / 1e6, 2)}
+        os.unlink(arc)
+    base = out["1"]["wall_s"]
+    for w in (1, 2, 4):
+        out[str(w)]["speedup"] = round(base / out[str(w)]["wall_s"], 2)
+        out[str(w)]["efficiency"] = round(
+            base / out[str(w)]["wall_s"] / min(int(w), 2), 2)
+    return out
+
+
+def distributed_curve(fq: str, total_bases: int, work: str) -> dict:
+    out = {}
+    for nproc in (1, 2, 4):
+        arc = os.path.join(work, f"d{nproc}.nstpu")
+        port = _free_port()
+        env = _env()
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={max(1, 8 // nproc)}")
+        t0 = time.time()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "nanospring_tpu.parallel.distributed",
+                 fq, arc, work, str(nproc), str(pid), str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(nproc)
+        ]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        wall = time.time() - t0
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, o[-2000:]
+        out[str(nproc)] = {"wall_s": round(wall, 1),
+                           "mbases_s": round(total_bases / wall / 1e6, 2)}
+    base = out["1"]["wall_s"]
+    for nproc in (1, 2, 4):
+        out[str(nproc)]["speedup"] = round(
+            base / out[str(nproc)]["wall_s"], 2)
+    return out
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from nanospring_tpu.utils import synth
+
+    work = tempfile.mkdtemp(prefix="nstpu_scaling_")
+    fq = os.path.join(work, "w.fastq")
+    reads = synth.make_dataset(fq, genome_len=2_000_000, num_reads=12_000,
+                               mean_len=5_000, seed=1234, p_n_base=0.0005,
+                               realistic=True)
+    total = sum(len(r) for r in reads)
+    del reads
+
+    # smaller dataset for the distributed curve: 4 Gloo processes on 2
+    # cores oversubscribe 2x, the point is overhead + correctness of the
+    # partition, not absolute speed
+    fq_d = os.path.join(work, "d.fastq")
+    reads_d = synth.make_dataset(fq_d, genome_len=600_000, num_reads=3_600,
+                                 mean_len=5_000, seed=7, p_n_base=0.0005,
+                                 realistic=True)
+    total_d = sum(len(r) for r in reads_d)
+    del reads_d
+
+    result = {
+        "metric": "scaling_curves",
+        "host_physical_cores": os.cpu_count(),
+        "note": "2-core host: ideal pipeline_workers scaling saturates at "
+                "2; efficiency is speedup / min(workers, cores). The "
+                "reference's own 20-thread server curve is the "
+                "multi-core model (logs/2022/hs2_threads.log).",
+        "pipeline_workers": worker_curve(fq, total),
+        "distributed_nproc": distributed_curve(fq_d, total_d, work),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

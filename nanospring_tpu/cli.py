@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mean-len", type=int, default=8000)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--n-frac", type=float, default=0.0)
+    sp.add_argument("--realistic", action="store_true",
+                    help="hardened model: repeats, homopolymer-biased "
+                         "indels, lognormal lengths (the bench headline)")
 
     lp = sub.add_parser("lone-stats", help="analyze lone reads of an archive")
     lp.add_argument("-i", "--input", required=True)
@@ -106,6 +109,7 @@ def _dispatch(argv: list[str] | None) -> int:
             mean_len=args.mean_len,
             seed=args.seed,
             p_n_base=args.n_frac,
+            realistic=args.realistic,
         )
         print(f"wrote {args.output}")
         return 0

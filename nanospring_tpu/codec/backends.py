@@ -24,8 +24,12 @@ import lzma
 import struct
 import zlib
 
-_CHUNK = 8 << 20   # block-chunked like the reference's 48 MB bsc blocks;
-                   # 8 MB so thread pools parallelize medium streams too
+_CHUNK = 32 << 20  # block-chunked like the reference's 48 MB bsc blocks
+                   # (bsc_helper.h:6). 32 MB: on Gbase-class inputs the
+                   # genome/pos streams reach hundreds of MB, where bigger
+                   # blocks buy LZP/BWT context (round-3 ask #8); medium
+                   # streams still split enough for the thread pool, and
+                   # SA-IS scratch stays ~5x chunk per worker
 
 _LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
 

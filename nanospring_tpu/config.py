@@ -24,6 +24,12 @@ class CompressConfig:
     # --- seeding / alignment (reference: minimap2 map-ont usage) ---
     seed_kmer_size: int = 20           # --minimap-k analog: anchor k-mer size
     seed_window: int = 50              # --minimap-w analog: minimizer window
+    max_bucket: int = 256              # sketch-slot bucket cap (buckets
+                                       # larger than this are repetitive
+                                       # k-mers and skipped; drops counted
+                                       # in FunnelStats.capped_* — measured
+                                       # at 256/1024/uncapped in
+                                       # docs/BUCKET_CAP.md)
     max_chain_iter: int = 400          # chaining iteration cap analog
     band_width: int = 128              # banded-DP half-width for extension
     band_width_min: int = 64           # adaptive first-try band (native

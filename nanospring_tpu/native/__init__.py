@@ -199,6 +199,8 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_engine_probe_info.argtypes = [dp, dp, i32p]
             lib.ns_engine_timings.restype = None
             lib.ns_engine_timings.argtypes = [ctypes.c_void_p, dp]
+            lib.ns_join_stats.restype = None
+            lib.ns_join_stats.argtypes = [ctypes.c_void_p, i64p]
             lib.ns_components.restype = i64
             lib.ns_components.argtypes = [i64p, i64p, i64, i64, i64p]
             u32p = ctypes.POINTER(ctypes.c_uint32)

@@ -287,6 +287,11 @@ struct Engine {
     int64_t n_dp = 0, dp_bases = 0;
     int64_t n_stitch_bases = 0, n_full_dp_bases = 0;
     int64_t n_retry = 0, n_reject = 0, n_claimed_skip = 0, n_place_fail = 0;
+    // chip-routing accounting (round-3 verdict ask #5): pairs/bases the
+    // TPU batch could not take because the query exceeds the kernel's row
+    // capacity (m_cap) — the silent host fallback made "aligner=tpu" runs
+    // unaccountable on lognormal-tail datasets
+    int64_t n_host_long_pairs = 0, n_host_long_bases = 0;
 
     // per-thread scratch (collect's place() fans out over OpenMP)
     static thread_local std::vector<uint8_t> scratch;   // forward unpack
@@ -772,8 +777,12 @@ struct Engine {
             Placed& p = batch[(size_t)b];
             const int64_t m = p.qhi - p.qlo;
             if (!p.item.full_band && m > 0 && m <= g_tpu.m_cap &&
-                (int64_t)tp_idx.size() < g_tpu.p_cap)
+                (int64_t)tp_idx.size() < g_tpu.p_cap) {
                 tp_idx.push_back(b);
+            } else if (m > g_tpu.m_cap) {
+                n_host_long_pairs += 1;
+                n_host_long_bases += m;
+            }
         }
         if (tp_idx.empty()) return false;
         // longest-first so each 16-pair program is length-homogeneous
@@ -1271,7 +1280,8 @@ void ns_engine_free(void* handle) { delete (Engine*)handle; }
 //   6 t_dp_stitch  7 t_dp_full  8 t_dp_tpu  9 t_dp_resize
 //   10 n_dp_pairs  11 dp_bases  12 stitch_bases  13 full_dp_bases
 //   14 n_reject  15 n_retry  16 n_place_fail  17 n_claimed_skip
-//   18-19 reserved (0)
+//   18 host_routed_long_pairs  19 host_routed_long_bases (queries beyond
+//      the TPU kernel's row capacity, 0 when no chip hook is installed)
 void ns_engine_timings(void* handle, double* out) {
     Engine* e = (Engine*)handle;
     out[0] = e->t_place;      out[1] = e->t_dp;
@@ -1283,7 +1293,8 @@ void ns_engine_timings(void* handle, double* out) {
     out[12] = (double)e->n_stitch_bases;  out[13] = (double)e->n_full_dp_bases;
     out[14] = (double)e->n_reject;        out[15] = (double)e->n_retry;
     out[16] = (double)e->n_place_fail;    out[17] = (double)e->n_claimed_skip;
-    out[18] = 0.0;            out[19] = 0.0;
+    out[18] = (double)e->n_host_long_pairs;
+    out[19] = (double)e->n_host_long_bases;
 }
 
 }  // extern "C"

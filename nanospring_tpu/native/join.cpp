@@ -28,6 +28,11 @@ namespace {
 struct JoinResult {
     // per-read candidate lists, concatenated in read order
     std::vector<int64_t> q, r, cnt;
+    // recall observability (round-3 verdict ask #6 — the reference keeps
+    // every match, src/ReadFilter.cpp:65-83; our cap must not be silent):
+    int64_t dropped_buckets = 0;   // buckets skipped as > max_bucket
+    int64_t dropped_entries = 0;   // candidate entries those buckets held
+    int64_t capped_reads = 0;      // query reads with >= 1 dropped bucket
 };
 
 }  // namespace
@@ -80,6 +85,7 @@ void* ns_join_run(
         const int64_t qhi = std::min(N, qlo + chunk);
         for (int64_t qi = qlo; qi < qhi; ++qi) {
             local.clear();
+            bool capped = false;
             for (int32_t j = 0; j < n; ++j) {
                 const uint32_t v = sketches[(size_t)qi * n + j];
                 if (v == EMPTY) continue;
@@ -89,11 +95,18 @@ void* ns_join_run(
                 const uint32_t* hi =
                     std::upper_bound(lo, V.data() + N, v);
                 const int64_t b = hi - lo;
-                if (b == 0 || b > max_bucket) continue;
+                if (b > max_bucket) {
+                    out.dropped_buckets += 1;
+                    out.dropped_entries += b;
+                    capped = true;
+                    continue;
+                }
+                if (b == 0) continue;
                 const int64_t base = lo - V.data();
                 const uint32_t* I = ids[j].data() + base;
                 local.insert(local.end(), I, I + b);
             }
+            if (capped) out.capped_reads += 1;
             if ((int64_t)local.size() < threshold) continue;
             std::sort(local.begin(), local.end());
             size_t s = 0;
@@ -115,6 +128,9 @@ void* ns_join_run(
         all->q.insert(all->q.end(), p.q.begin(), p.q.end());
         all->r.insert(all->r.end(), p.r.begin(), p.r.end());
         all->cnt.insert(all->cnt.end(), p.cnt.begin(), p.cnt.end());
+        all->dropped_buckets += p.dropped_buckets;
+        all->dropped_entries += p.dropped_entries;
+        all->capped_reads += p.capped_reads;
     }
     *out_total = (int64_t)all->q.size();
     return res;
@@ -130,6 +146,16 @@ void ns_join_fetch(void* handle, int64_t* q_out, int64_t* r_out,
 }
 
 void ns_join_free(void* handle) { delete (JoinResult*)handle; }
+
+// Bucket-cap recall observability: [0] dropped buckets, [1] candidate
+// entries inside them, [2] query reads touched by a drop.
+void ns_join_stats(void* handle, int64_t* out3)
+{
+    JoinResult* res = (JoinResult*)handle;
+    out3[0] = res->dropped_buckets;
+    out3[1] = res->dropped_entries;
+    out3[2] = res->capped_reads;
+}
 
 // Connected components of the candidate pair graph by union-find —
 // replaces scipy.sparse.csgraph.connected_components in the hot path

@@ -618,7 +618,13 @@ def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
 
 _TR = 2048                # backward tile rows (multiple of 512: the trace
                           # strip flush window never straddles tiles)
-M_PAD16T_MAX = 32768      # dirs tile 2 MB + trace 512 KB + tpad/q ~1 MB
+M_PAD16T_MAX = 131072     # VMEM at this cap: tpad+q ~4.2 MB, trace 2 MB,
+                          # dirs tiles 2 MB, ckpt 0.5 MB — inside the
+                          # 16 MB/core budget; covers ultra-long protocols
+                          # (>100 kb reads). If a chip generation cannot
+                          # compile it, the engine hook's callback fails
+                          # once and the run falls back to the host DP
+                          # (test_engine_tpu_backend_graceful_fallback).
 
 
 def _kernel16t(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,

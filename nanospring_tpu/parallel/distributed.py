@@ -327,12 +327,21 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     for _round in range(64):
         prev = labels
         labels = labels.copy()
-        for _ in range(2):
+        # relax local edges to a LOCAL fixpoint before paying the global
+        # all-gather: each gather moves 8 B/read x nproc, so the cheap
+        # local iterations (bounded: pointer-jumping halves depth each
+        # pass) directly cut the number of global rounds — typically to
+        # 2-3 total (the converged round plus its confirmation)
+        for _ in range(16):
+            lp = labels
+            labels = labels.copy()
             if len(my_q):
                 m = np.minimum(labels[my_q], labels[my_r])
                 np.minimum.at(labels, my_q, m)
                 np.minimum.at(labels, my_r, m)
             labels = labels[labels]
+            if np.array_equal(labels, lp):
+                break
         labels = mhu.process_allgather(labels).min(axis=0)
         # every process computes the identical gathered min, so this
         # convergence test agrees globally without an extra reduce

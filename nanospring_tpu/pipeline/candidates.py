@@ -19,6 +19,12 @@ import numpy as np
 
 from ..ops.sketch import EMPTY_SLOT
 
+# last join's bucket-cap drop counters (ns_join_stats): the reference keeps
+# every match (src/ReadFilter.cpp:65-83), so our repetitive-k-mer cap must
+# be visible — surfaced in FunnelStats and the bench JSON.
+JOIN_STATS: dict = {"dropped_buckets": 0, "dropped_entries": 0,
+                    "capped_reads": 0}
+
 
 def all_pairs_native(sketches: np.ndarray, threshold: int,
                      max_bucket: int = 256):
@@ -52,6 +58,11 @@ def all_pairs_native(sketches: np.ndarray, threshold: int,
             ctypes.c_void_p(h), q.ctypes.data_as(i64p),
             r.ctypes.data_as(i64p), cnt.ctypes.data_as(i64p),
         )
+        st3 = np.zeros(3, np.int64)
+        lib.ns_join_stats(ctypes.c_void_p(h), st3.ctypes.data_as(i64p))
+        JOIN_STATS.update(dropped_buckets=int(st3[0]),
+                          dropped_entries=int(st3[1]),
+                          capped_reads=int(st3[2]))
     finally:
         lib.ns_join_free(ctypes.c_void_p(h))
     return q, r, cnt

@@ -1212,7 +1212,8 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
 
     def _sketch_and_join(c: CompressConfig):
         sketches = compute_all_sketches(store, c, report)
-        nat = candidates.all_pairs_native(sketches, c.overlap_sketch_threshold)
+        nat = candidates.all_pairs_native(sketches, c.overlap_sketch_threshold,
+                                          getattr(c, "max_bucket", 256))
         if nat is not None:
             q_, r_, _cnt = nat
             return q_, r_
@@ -1253,7 +1254,13 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
                       f"{len(pq2)} pairs")
             pq, pr = pq2, pr2
     stats.minhash_hits += len(pq)
-    _merge_timings(PIPE_STAGES, {"sketch_join": time.perf_counter() - _t0})
+    stats.capped_buckets += candidates.JOIN_STATS["dropped_buckets"]
+    stats.capped_reads += candidates.JOIN_STATS["capped_reads"]
+    _merge_timings(PIPE_STAGES, {"sketch_join": time.perf_counter() - _t0,
+                                 "capped_buckets":
+                                     candidates.JOIN_STATS["dropped_buckets"],
+                                 "capped_reads":
+                                     candidates.JOIN_STATS["capped_reads"]})
     _t0 = time.perf_counter()
 
     # adjacency CSR over both directions
@@ -1522,6 +1529,8 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
             "dp_pairs": _tim[10], "dp_bases": _tim[11],
             "stitch_bases": _tim[12], "full_dp_bases": _tim[13],
             "dp_rejects": _tim[14], "dp_retries": _tim[15],
+            "host_routed_long_pairs": _tim[18],
+            "host_routed_long_bases": _tim[19],
         }
         C, M = nc.value, nm.value
         cons_flat = np.empty(ctot.value, np.uint8)

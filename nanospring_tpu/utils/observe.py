@@ -67,6 +67,8 @@ class FunnelStats:
     not_claimed: int = 0         # of those, reads not yet claimed by a contig
     aligned_ok: int = 0          # of those, accepted by the aligner
     repetitive: int = 0          # reads excluded by the self-similarity screen
+    capped_buckets: int = 0      # sketch buckets dropped by the size cap
+    capped_reads: int = 0        # reads touched by a dropped bucket
     reads_in_contigs: int = 0
     lone_reads: int = 0
     contigs: int = 0
@@ -78,7 +80,8 @@ class FunnelStats:
     def report(self) -> str:
         return (
             f"funnel: minhash={self.minhash_hits} unclaimed={self.not_claimed} "
-            f"aligned={self.aligned_ok} repetitive={self.repetitive} | "
+            f"aligned={self.aligned_ok} repetitive={self.repetitive} "
+            f"capped_buckets={self.capped_buckets} | "
             f"contigs={self.contigs} in_contigs={self.reads_in_contigs} "
             f"lone={self.lone_reads}"
         )

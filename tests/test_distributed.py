@@ -1,8 +1,11 @@
-"""Real multi-process compression over jax.distributed (2 CPU processes x
-4 virtual devices = one 8-device global mesh, collectives over Gloo). The
-archive written by process 0 must decompress byte-identically."""
+"""Real multi-process compression over jax.distributed (2 or 4 CPU
+processes sharing one 8-device global mesh, collectives over Gloo). The
+archive written by process 0 must decompress byte-identically, and the
+recorded memory evidence must show no process ever materialized the full
+packed read set (round-3 verdict ask #4)."""
 
 import os
+import pickle
 import socket
 import subprocess
 import sys
@@ -22,13 +25,16 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(600)
-def test_two_process_distributed_compress(tmp_path):
+# (the former pytest.mark.timeout(600) was inert — pytest-timeout is not
+# installed; the subprocess communicate(timeout=...) below is the real
+# hang bound for the only step that can block on a peer)
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_distributed_compress(tmp_path, nproc):
     rng = np.random.default_rng(55)
     reads = []
-    for _ in range(3):
-        g = synth.random_genome(15_000, rng)
-        reads += synth.make_reads(g, 40, 1_500, rng)
+    for _ in range(6):
+        g = synth.random_genome(12_000, rng)
+        reads += synth.make_reads(g, 32, 1_500, rng)
     fq = str(tmp_path / "r.fastq")
     synth.write_fastq(fq, reads, gz=False)
     arc = str(tmp_path / "r.nstpu")
@@ -38,23 +44,45 @@ def test_two_process_distributed_compress(tmp_path):
         os.environ,
         PYTHONPATH=repo,
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={8 // nproc}",
     )
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "nanospring_tpu.parallel.distributed",
-             fq, arc, str(tmp_path), "2", str(pid), str(port)],
+             fq, arc, str(tmp_path), str(nproc), str(pid), str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = [p.communicate(timeout=500)[0].decode() for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-2000:]
-    assert "distributed compress ok" in outs[0] or \
-        "distributed compress ok" in outs[1], outs
+    assert any("distributed compress ok" in o for o in outs), outs
 
     out = str(tmp_path / "r.reads")
     decompress_file(arc, out, report=False)
     with open(out, "rb") as f:
         got = f.read().splitlines()
     assert got == reads, "distributed archive not byte-identical"
+
+    # memory evidence (round-3 verdict ask #4): every process's local
+    # shard AND everything it gathered for contig growth must be strictly
+    # smaller than the full packed dataset — the scale story collapses if
+    # any process quietly materializes the whole input
+    tot_gathered = 0
+    for pid in range(nproc):
+        with open(str(tmp_path / f"mem_{pid}.pkl"), "rb") as f:
+            ev = pickle.load(f)
+        full = ev["full_packed_bytes"]
+        assert ev["local_shard_bytes"] < full, ev
+        assert ev["gathered_bytes"] < full, ev
+        tot_gathered += ev["gathered_bytes"]
+        # a process's working set is its shard + what it gathered for the
+        # components it owns; with >= 4 processes that must be a strict
+        # minority of the dataset (2 processes can legitimately own most
+        # components of a small graph, so only the per-term bound holds)
+        if nproc >= 4:
+            assert ev["local_shard_bytes"] + ev["gathered_bytes"] \
+                < 0.75 * full, ev
+    # across all processes the gathers partition the component-owned reads
+    # (plus shard overlap), so the total stays O(full), not O(nproc*full)
+    assert tot_gathered < 1.5 * full
