@@ -146,6 +146,13 @@ extern "C" void ns_engine_set_tpu(
     g_tpu.ts = ts;
     g_tpu.te = te;
     g_tpu.trace = trace;
+    if (fn == nullptr) {
+        // clear(): drop the hook but keep m_cap (the remembered kernel
+        // shape) so the next install() of the same shape reuses the cached
+        // probe verdict instead of re-paying warm-up + probe round trips
+        g_tpu.mode = 0;
+        return;
+    }
     if (m_cap != g_tpu.m_cap && m_cap != 0) {
         // new kernel shape: the cached probe verdict no longer applies
         g_probe_decision = -1;
@@ -292,6 +299,11 @@ struct Engine {
     // capacity (m_cap) — the silent host fallback made "aligner=tpu" runs
     // unaccountable on lognormal-tail datasets
     int64_t n_host_long_pairs = 0, n_host_long_bases = 0;
+    // full-band DP outcome accounting by escalation class (NS_ENGINE_DEBUG):
+    // [class]: 0 chain<2, 1 stitch structural fail, 2 escalated retry;
+    // acc/rej per class + wall per class
+    int64_t fb_acc[3] = {0, 0, 0}, fb_rej[3] = {0, 0, 0};
+    double fb_s[3] = {0, 0, 0};
 
     // per-thread scratch (collect's place() fans out over OpenMP)
     static thread_local std::vector<uint8_t> scratch;   // forward unpack
@@ -1011,6 +1023,8 @@ struct Engine {
                 s_stitch += now_s() - tt;
                 stitch_bases += m;
             }
+            const bool was_struct_fail = (p.cost == -4) &&
+                !p.item.full_band && (int64_t)p.aq.size() >= 2;
             if (p.cost == -4) {
                 tt = now_s();
                 p.cost = ns_banded_align(
@@ -1018,8 +1032,16 @@ struct Engine {
                     p.codes.data() + p.qlo, m,
                     p.d0_win, (int32_t)p.band, max_cost,
                     p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
-                s_full += now_s() - tt;
+                const double dt = now_s() - tt;
+                s_full += dt;
                 full_dp_bases += m;
+                const int cls = p.item.full_band ? 2
+                                : (was_struct_fail ? 1 : 0);
+                #pragma omp critical(fb_stats)
+                {
+                    fb_s[cls] += dt;
+                    (p.cost >= 0 ? fb_acc : fb_rej)[cls] += 1;
+                }
             }
             if (p.cost < 0) { p.ops_len = 0; p.tstart = 0; p.tend = 0; }
         }
@@ -1209,10 +1231,10 @@ void* ns_engine_run(
                      sp[6] / 1e6);
         std::fprintf(stderr,
                      "[engine] stitch fails: F<2 %lld C<2 %lld head %lld "
-                     "mid %lld tail %lld cost %lld | ok %lld\n",
+                     "mid %lld tail %lld cost %lld | ok %lld rescued %lld\n",
                      (long long)ss[0], (long long)ss[1], (long long)ss[2],
                      (long long)ss[3], (long long)ss[4], (long long)ss[5],
-                     (long long)ss[6]);
+                     (long long)ss[6], (long long)ss[7]);
         std::fprintf(stderr,
                      "[engine] place %.1fs dp %.1fs (%lld pairs, %.1f Mb: "
                      "stitch %.1f full %.1f) apply %.1fs | retry %lld "
@@ -1229,6 +1251,16 @@ void* ns_engine_run(
                      "placefn %.2fs\n",
                      e->t_dp_stitch, e->t_dp_full, e->t_dp_resize,
                      e->t_polish, e->t_mz, e->t_placefn);
+        std::fprintf(stderr,
+                     "[engine] fullband classes: chain<2 %lld/%lld %.2fs | "
+                     "structfail %lld/%lld %.2fs | escalated %lld/%lld "
+                     "%.2fs (acc/total)\n",
+                     (long long)e->fb_acc[0],
+                     (long long)(e->fb_acc[0] + e->fb_rej[0]), e->fb_s[0],
+                     (long long)e->fb_acc[1],
+                     (long long)(e->fb_acc[1] + e->fb_rej[1]), e->fb_s[1],
+                     (long long)e->fb_acc[2],
+                     (long long)(e->fb_acc[2] + e->fb_rej[2]), e->fb_s[2]);
     }
     int64_t nm = 0, ct = 0, ot = 0;
     for (const Contig& c : e->done) {
