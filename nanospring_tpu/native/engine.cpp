@@ -993,7 +993,7 @@ struct Engine {
         // barriers fight over the same cores (2-core hosts: DP team of 1)
         int nt = 1;
         #ifdef _OPENMP
-        nt = omp_get_max_threads() - 1;
+        nt = omp_get_max_threads();
         if (nt < 1) nt = 1;
         #endif
         #pragma omp parallel for schedule(dynamic, 2) num_threads(nt) \

@@ -107,12 +107,14 @@ void ns_minimizers_all(
     int64_t N, int32_t k, int32_t w, int32_t pass,
     int64_t* counts, uint64_t* out_h, int64_t* out_p, uint8_t* out_f)
 {
-  // runs in a background thread overlapped with the TPU sketch wait:
-  // leave one core to the sketch feeder
+  // runs in a background thread overlapped with the sketch. Full team:
+  // the TPU sketch feeder is tunnel-wait-bound, and the native sketch's
+  // own OMP loop time-slices fine — reserving it a core just meant the
+  // premz tail (single-threaded on a 2-core host) stalled the engine
+  // start for ~0.6s on the 60 Mb bench
   int nt = 1;
   #ifdef _OPENMP
-  nt = omp_get_max_threads() - 1;
-  if (nt < 1) nt = 1;
+  nt = omp_get_max_threads();
   #endif
   #pragma omp parallel num_threads(nt)
   {
