@@ -186,6 +186,75 @@ struct Member {
     std::vector<uint8_t> ops;
 };
 
+// Flat open-addressing map for the contig anchor table (minimizer hash ->
+// pos*2+strand). This is probed ~90x per placement and extended ~90x per
+// accept — a node-based unordered_map paid a cache miss + allocation per
+// op on exactly the per-batch critical path. Keys are already well-mixed
+// minimizer hashes; one multiplicative scramble places them. Stored
+// values are pos*2+strand where pos is an ABSOLUTE consensus coordinate
+// — negative after prepends — so the empty sentinel is INT64_MIN, not -1.
+struct AnchorMap {
+    static constexpr int64_t ABSENT = INT64_MIN;
+    std::vector<uint64_t> keys;
+    std::vector<int64_t> vals;
+    int64_t count = 0;
+    int64_t mask = -1;            // capacity-1; -1 = unallocated
+
+    static inline uint64_t mix(uint64_t k) {
+        return (k * 0x9E3779B97F4A7C15ULL) >> 13;
+    }
+    void reserve(int64_t n) {
+        int64_t cap = 16;
+        while (cap < 2 * n) cap <<= 1;
+        if (cap - 1 == mask) return;
+        rehash(cap);
+    }
+    void rehash(int64_t cap) {
+        std::vector<uint64_t> ok;
+        std::vector<int64_t> ov;
+        ok.swap(keys);
+        ov.swap(vals);
+        keys.assign((size_t)cap, 0);
+        vals.assign((size_t)cap, ABSENT);
+        const int64_t omask = mask;
+        mask = cap - 1;
+        for (int64_t i = 0; i <= omask; ++i)
+            if (ov[(size_t)i] != ABSENT) {
+                int64_t x = (int64_t)(mix(ok[(size_t)i]) & (uint64_t)mask);
+                while (vals[(size_t)x] != ABSENT) x = (x + 1) & mask;
+                keys[(size_t)x] = ok[(size_t)i];
+                vals[(size_t)x] = ov[(size_t)i];
+            }
+    }
+    // keep-first semantics (matches the unordered_map::emplace it replaces)
+    inline void emplace_first(uint64_t k, int64_t v) {
+        if (count * 2 >= mask + 1) rehash(mask < 0 ? 16 : 2 * (mask + 1));
+        int64_t x = (int64_t)(mix(k) & (uint64_t)mask);
+        while (vals[(size_t)x] != ABSENT) {
+            if (keys[(size_t)x] == k) return;
+            x = (x + 1) & mask;
+        }
+        keys[(size_t)x] = k;
+        vals[(size_t)x] = v;
+        ++count;
+    }
+    inline int64_t find(uint64_t k) const {    // ABSENT when missing
+        if (mask < 0) return ABSENT;
+        int64_t x = (int64_t)(mix(k) & (uint64_t)mask);
+        while (vals[(size_t)x] != ABSENT) {
+            if (keys[(size_t)x] == k) return vals[(size_t)x];
+            x = (x + 1) & mask;
+        }
+        return ABSENT;
+    }
+    void clear_release() {
+        std::vector<uint64_t>().swap(keys);
+        std::vector<int64_t>().swap(vals);
+        count = 0;
+        mask = -1;
+    }
+};
+
 struct Contig {
     int64_t cid = 0;
     std::vector<uint8_t> buf;     // consensus with slack
@@ -199,7 +268,7 @@ struct Contig {
     // the union over all accepted members (first occurrence wins). Replaces
     // per-member tables so candidate pins span the whole consensus overlap,
     // not just the BFS parent's extent.
-    std::unordered_map<uint64_t, int64_t> amap;
+    AnchorMap amap;
     std::unordered_set<int64_t> visited;
 
     int64_t hi() const { return lo + len; }
@@ -427,9 +496,10 @@ struct Engine {
         st.total_aligned = len;
         {   // seed the contig anchor map (tpos == read pos at creation)
             const Anchors& fw = forward_minimizers(seed);
-            st.amap.reserve(fw.h.size() * 2);
+            st.amap.reserve((int64_t)fw.h.size());
             for (size_t x = 0; x < fw.h.size(); ++x)
-                st.amap.emplace(fw.h[x], fw.p[x] * 2 + (int64_t)fw.f[x]);
+                st.amap.emplace_first(fw.h[x],
+                                      fw.p[x] * 2 + (int64_t)fw.f[x]);
         }
         st.visited.insert(seed);
         comp_active[comp_of[seed]] += 1;
@@ -479,7 +549,7 @@ struct Engine {
         if (it == states.end()) return;
         const int64_t comp = comp_of[st.members[0].rid];
         if (st.members.size() > 1) {
-            it->second.amap.clear();   // anchors die with the growth phase
+            it->second.amap.clear_release();  // anchors die with growth
             done.push_back(std::move(it->second));
         } else {
             claimed[st.members[0].rid] = 0;  // lone after all
@@ -498,11 +568,11 @@ struct Engine {
         // probe the contig-wide anchor map with the candidate's minimizers
         m_pa.clear(); m_pb.clear(); m_rc.clear();
         for (size_t x = 0; x < rb.h.size(); ++x) {
-            auto hit = st.amap.find(rb.h[x]);
-            if (hit == st.amap.end()) continue;
-            m_pa.push_back(hit->second >> 1);
+            const int64_t hv = st.amap.find(rb.h[x]);
+            if (hv == AnchorMap::ABSENT) continue;
+            m_pa.push_back(hv >> 1);
             m_pb.push_back(rb.p[x]);
-            m_rc.push_back((uint8_t)((hit->second & 1) != (int64_t)rb.f[x]));
+            m_rc.push_back((uint8_t)((hv & 1) != (int64_t)rb.f[x]));
         }
         if (m_pa.empty()) return false;
         int32_t is_rc;
@@ -594,8 +664,9 @@ struct Engine {
             fw.h.data(), fw.p.data(), fw.f.data(), (int64_t)fw.h.size(),
             out.h.data(), out.p.data(), out.f.data());
         for (int64_t x = 0; x < n; ++x)
-            st.amap.emplace(out.h[(size_t)x],
-                            out.p[(size_t)x] * 2 + (int64_t)out.f[(size_t)x]);
+            st.amap.emplace_first(
+                out.h[(size_t)x],
+                out.p[(size_t)x] * 2 + (int64_t)out.f[(size_t)x]);
     }
 
     void apply(Placed& p) {
