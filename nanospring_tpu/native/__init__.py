@@ -192,6 +192,16 @@ def get_lib() -> ctypes.CDLL:
                 ctypes.c_void_p, u8p, i64p, i64p,
                 i64p, u8p, i64p, i64p, u8p,
             ]
+            lib.ns_engine_contig_sizes.restype = None
+            lib.ns_engine_contig_sizes.argtypes = [
+                ctypes.c_void_p, i64p, i64p, i64p,
+            ]
+            lib.ns_engine_fetch_range.restype = None
+            lib.ns_engine_fetch_range.argtypes = [
+                ctypes.c_void_p, i64, i64, i32,
+                u8p, i64p, i64p,
+                i64p, u8p, i64p, i64p, u8p,
+            ]
             lib.ns_engine_free.restype = None
             lib.ns_engine_free.argtypes = [ctypes.c_void_p]
             dp = ctypes.POINTER(ctypes.c_double)

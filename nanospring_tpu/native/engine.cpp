@@ -183,8 +183,48 @@ struct Member {
     int64_t rid;
     uint8_t strand;
     int64_t tstart;               // absolute consensus coords
-    std::vector<uint8_t> ops;
+    std::vector<uint8_t> ops;     // RLE tokens (see ops_rle_encode)
+    int64_t raw_len = 0;          // decoded op count
 };
+
+// Member edit scripts dominate engine-resident memory on Gbase-class
+// inputs (~1.05 B per aligned base raw). Ops are 4-symbol with long '='
+// runs, so one byte per token — op(2 bits) | run-1(6 bits), runs up to
+// 64 — stores them at ~0.15-0.2 B/base. Encode on accept, decode for
+// polish and the emit fetch.
+inline uint8_t ops_code(uint8_t c) {
+    switch (c) {
+        case 's': return 1;
+        case 'i': return 2;
+        case 'd': return 3;
+        default: return 0;      // '='
+    }
+}
+constexpr uint8_t OPS_CHAR[4] = {'=', 's', 'i', 'd'};
+
+inline void ops_rle_encode(const uint8_t* raw, int64_t n,
+                           std::vector<uint8_t>& out) {
+    out.clear();
+    out.reserve((size_t)(n / 16 + 8));
+    int64_t i = 0;
+    while (i < n) {
+        const uint8_t c = raw[i];
+        int64_t run = 1;
+        while (i + run < n && run < 64 && raw[i + run] == c) ++run;
+        out.push_back((uint8_t)((ops_code(c) << 6) | (run - 1)));
+        i += run;
+    }
+}
+
+inline void ops_rle_decode(const uint8_t* rle, int64_t ntok, uint8_t* out) {
+    int64_t o = 0;
+    for (int64_t t = 0; t < ntok; ++t) {
+        const uint8_t c = OPS_CHAR[rle[t] >> 6];
+        const int64_t run = (rle[t] & 63) + 1;
+        std::memset(out + o, c, (size_t)run);
+        o += run;
+    }
+}
 
 // Flat open-addressing map for the contig anchor table (minimizer hash ->
 // pos*2+strand). This is probed ~90x per placement and extended ~90x per
@@ -491,7 +531,10 @@ struct Engine {
         m.rid = seed;
         m.strand = 0;
         m.tstart = 0;
-        m.ops.assign((size_t)len, '=');
+        m.raw_len = len;
+        m.ops.assign((size_t)((len + 63) / 64), (uint8_t)63);
+        if (len % 64)
+            m.ops.back() = (uint8_t)(len % 64 - 1);
         st.members.push_back(std::move(m));
         st.total_aligned = len;
         {   // seed the contig anchor map (tpos == read pos at creation)
@@ -646,7 +689,8 @@ struct Engine {
         m.rid = p.item.rid;
         m.strand = (uint8_t)p.is_rc;
         m.tstart = tstart_abs;
-        m.ops = ops;
+        m.raw_len = (int64_t)ops.size();
+        ops_rle_encode(ops.data(), (int64_t)ops.size(), m.ops);
         st.members.push_back(std::move(m));
         st.total_aligned += mlen;
         // map the member's minimizers through its alignment and merge
@@ -1316,7 +1360,9 @@ void* ns_engine_run(
             for (size_t k = 0; k < st.members.size(); ++k) {
                 Member& m = st.members[k];
                 e->unpack_oriented(m.rid, m.strand, codes[k]);
-                pm[k].ops = std::move(m.ops);
+                pm[k].ops.resize((size_t)m.raw_len);
+                ops_rle_decode(m.ops.data(), (int64_t)m.ops.size(),
+                               pm[k].ops.data());
                 pm[k].tstart = m.tstart - st.lo;
                 pm[k].codes = codes[k].data();
             }
@@ -1327,7 +1373,10 @@ void* ns_engine_run(
             st.start = 0;
             st.len = (int64_t)cons.size();
             for (size_t k = 0; k < st.members.size(); ++k) {
-                st.members[k].ops = std::move(pm[k].ops);
+                st.members[k].raw_len = (int64_t)pm[k].ops.size();
+                ops_rle_encode(pm[k].ops.data(),
+                               (int64_t)pm[k].ops.size(),
+                               st.members[k].ops);
                 st.members[k].tstart = st.lo + pm[k].tstart;
             }
         }
@@ -1390,7 +1439,7 @@ void* ns_engine_run(
     for (const Contig& c : e->done) {
         nm += (int64_t)c.members.size();
         ct += c.len;
-        for (const Member& m : c.members) ot += (int64_t)m.ops.size();
+        for (const Member& m : c.members) ot += m.raw_len;
     }
     *out_ncontig = (int64_t)e->done.size();
     *out_nmember = nm;
@@ -1401,6 +1450,63 @@ void* ns_engine_run(
     return e;
 }
 
+// Per-contig sizes so the caller can plan bounded fetch slices (the
+// monolithic fetch materialized ~2 B per aligned base in one transient —
+// the top RSS term on Gbase-class inputs).
+void ns_engine_contig_sizes(void* handle, int64_t* cons_len,
+                            int64_t* m_cnt, int64_t* ops_bytes)
+{
+    Engine* e = (Engine*)handle;
+    int64_t ci = 0;
+    for (const Contig& c : e->done) {
+        cons_len[ci] = c.len;
+        m_cnt[ci] = (int64_t)c.members.size();
+        int64_t ot = 0;
+        for (const Member& m : c.members) ot += m.raw_len;
+        ops_bytes[ci] = ot;
+        ++ci;
+    }
+}
+
+// Fetch contigs [c0, c1). release != 0 frees each contig's member ops +
+// consensus as it is copied out, so engine-resident memory drains while
+// the caller serializes slice by slice.
+void ns_engine_fetch_range(void* handle, int64_t c0, int64_t c1,
+                           int32_t release,
+                           uint8_t* cons_flat, int64_t* cons_len,
+                           int64_t* m_cnt,
+                           int64_t* rid, uint8_t* strand,
+                           int64_t* tstart_rel,
+                           int64_t* ops_len, uint8_t* ops_flat)
+{
+    Engine* e = (Engine*)handle;
+    int64_t co = 0, oo = 0, mi = 0, ci = 0;
+    for (int64_t x = c0; x < c1; ++x) {
+        Contig& c = e->done[(size_t)x];
+        std::memcpy(cons_flat + co, c.cons(), (size_t)c.len);
+        co += c.len;
+        cons_len[ci] = c.len;
+        m_cnt[ci] = (int64_t)c.members.size();
+        ++ci;
+        for (Member& m : c.members) {
+            rid[mi] = m.rid;
+            strand[mi] = m.strand;
+            tstart_rel[mi] = m.tstart - c.lo;
+            ops_len[mi] = m.raw_len;
+            ops_rle_decode(m.ops.data(), (int64_t)m.ops.size(),
+                           ops_flat + oo);
+            oo += m.raw_len;
+            ++mi;
+            if (release) std::vector<uint8_t>().swap(m.ops);
+        }
+        if (release) {
+            std::vector<uint8_t>().swap(c.buf);
+            c.members.clear();
+            c.members.shrink_to_fit();
+        }
+    }
+}
+
 void ns_engine_fetch(void* handle,
                      uint8_t* cons_flat, int64_t* cons_len,
                      int64_t* m_cnt,
@@ -1408,23 +1514,9 @@ void ns_engine_fetch(void* handle,
                      int64_t* ops_len, uint8_t* ops_flat)
 {
     Engine* e = (Engine*)handle;
-    int64_t co = 0, oo = 0, mi = 0, ci = 0;
-    for (const Contig& c : e->done) {
-        std::memcpy(cons_flat + co, c.cons(), (size_t)c.len);
-        co += c.len;
-        cons_len[ci] = c.len;
-        m_cnt[ci] = (int64_t)c.members.size();
-        ++ci;
-        for (const Member& m : c.members) {
-            rid[mi] = m.rid;
-            strand[mi] = m.strand;
-            tstart_rel[mi] = m.tstart - c.lo;
-            ops_len[mi] = (int64_t)m.ops.size();
-            std::memcpy(ops_flat + oo, m.ops.data(), m.ops.size());
-            oo += (int64_t)m.ops.size();
-            ++mi;
-        }
-    }
+    ns_engine_fetch_range(handle, 0, (int64_t)e->done.size(), 0,
+                          cons_flat, cons_len, m_cnt, rid, strand,
+                          tstart_rel, ops_len, ops_flat);
 }
 
 void ns_engine_free(void* handle) { delete (Engine*)handle; }

@@ -1194,8 +1194,13 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     device-side half of the pipeline)."""
     N = store.num_reads
     premz_fut = None
+    # low-mem runs skip the whole-dataset tables (~0.7 B/base: 0.7 GB per
+    # Gbase was the single biggest term in the 1-Gbase run's 3.07 GB peak
+    # RSS); the engine's on-demand mz_cache holds only frontier reads and
+    # evicts on accept, so the working set stays O(frontier), not O(N)
     if (not getattr(cfg, "disable_assembly", False)
             and cfg.aligner != "python"
+            and not getattr(store, "low_mem", False)
             and 0 < store.total_bases <= PREMZ_MAX_BASES):
         import concurrent.futures as _cf
 
@@ -1533,19 +1538,118 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
             "host_routed_long_bases": _tim[19],
         }
         C, M = nc.value, nm.value
-        cons_flat = np.empty(ctot.value, np.uint8)
-        cons_len = np.empty(C, np.int64)
-        m_cnt = np.empty(C, np.int64)
-        rid = np.empty(M, np.int64)
-        strand = np.empty(M, np.uint8)
-        tstart_rel = np.empty(M, np.int64)
-        ops_len = np.empty(M, np.int64)
-        ops_flat = np.empty(otot.value, np.uint8)
-        lib.ns_engine_fetch(
-            ctypes.c_void_p(h), cons_flat.ctypes.data_as(u8p), c64(cons_len),
-            c64(m_cnt), c64(rid), strand.ctypes.data_as(u8p),
-            c64(tstart_rel), c64(ops_len), ops_flat.ctypes.data_as(u8p),
-        )
+        flat_fast = not cfg.checks and not os.environ.get("NSTPU_TRACE")
+        if flat_fast:
+            # flat fast path, fetched in BOUNDED SLICES: the old monolithic
+            # fetch materialized ops_flat + codes_flat (~2 B per aligned
+            # base) in one transient — the top RSS term on Gbase-class
+            # inputs. Each slice is fetched with release=1 so the engine's
+            # own copy drains as the caller converts; peak extra memory is
+            # one slice (~2 * EMIT_SLICE_OPS) plus the compact edit
+            # streams (~0.2 B/base).
+            _t_emit = time.perf_counter()
+            per_cons = np.empty(C, np.int64)
+            per_m = np.empty(C, np.int64)
+            per_ops = np.empty(C, np.int64)
+            lib.ns_engine_contig_sizes(
+                ctypes.c_void_p(h), c64(per_cons), c64(per_m), c64(per_ops))
+            slice_cap = int(float(os.environ.get(
+                "NSTPU_EMIT_SLICE_OPS", 96e6)))
+            consensus_list = []
+            pieces = []        # per-slice (rid, strand, es)
+            u8pp = ctypes.POINTER(ctypes.c_uint8)
+            i64pp = ctypes.POINTER(ctypes.c_int64)
+            c0 = 0
+            while c0 < C:
+                c1 = c0 + 1
+                acc = int(per_ops[c0])
+                while c1 < C and acc + int(per_ops[c1]) <= slice_cap:
+                    acc += int(per_ops[c1])
+                    c1 += 1
+                Ms = int(per_m[c0:c1].sum())
+                cons_flat = np.empty(int(per_cons[c0:c1].sum()), np.uint8)
+                cons_len = np.empty(c1 - c0, np.int64)
+                m_cnt_s = np.empty(c1 - c0, np.int64)
+                rid_s = np.empty(Ms, np.int64)
+                strand_s = np.empty(Ms, np.uint8)
+                tstart_s = np.empty(Ms, np.int64)
+                ops_len_s = np.empty(Ms, np.int64)
+                ops_flat = np.empty(acc, np.uint8)
+                lib.ns_engine_fetch_range(
+                    ctypes.c_void_p(h), ctypes.c_int64(c0),
+                    ctypes.c_int64(c1), ctypes.c_int32(1),
+                    cons_flat.ctypes.data_as(u8p), c64(cons_len),
+                    c64(m_cnt_s), c64(rid_s), strand_s.ctypes.data_as(u8p),
+                    c64(tstart_s), c64(ops_len_s),
+                    ops_flat.ctypes.data_as(u8p),
+                )
+                ops_off = np.zeros(Ms + 1, np.int64)
+                np.cumsum(ops_len_s, out=ops_off[1:])
+                codes_len = (store.lengths[rid_s].astype(np.int64) if Ms
+                             else np.zeros(0, np.int64))
+                codes_off = np.zeros(Ms + 1, np.int64)
+                np.cumsum(codes_len, out=codes_off[1:])
+                codes_flat = np.empty(int(codes_len.sum()), np.uint8)
+                lib.ns_unpack_oriented(
+                    packed.ctypes.data_as(u8pp),
+                    store.offsets.ctypes.data_as(i64pp),
+                    store.lengths.ctypes.data_as(i64pp),
+                    rid_s.ctypes.data_as(i64pp),
+                    strand_s.ctypes.data_as(u8pp),
+                    ctypes.c_int64(Ms), codes_off.ctypes.data_as(i64pp),
+                    codes_flat.ctypes.data_as(u8pp),
+                )
+                res = al.AlignResult(
+                    cost=np.zeros(Ms, np.int32), tstart=tstart_s,
+                    tend=np.zeros(Ms, np.int64),
+                    ops_flat=ops_flat, ops_off=ops_off[:-1],
+                    ops_len=ops_len_s,
+                )
+                es_s = al.ops_to_edit_scripts(res, np.arange(Ms),
+                                              codes_flat, codes_off[:-1],
+                                              codes_len)
+                cpos = 0
+                for ln in cons_len:
+                    consensus_list.append(
+                        cons_flat[cpos: cpos + int(ln)])
+                    cpos += int(ln)
+                pieces.append((rid_s, strand_s, m_cnt_s, es_s))
+                c0 = c1
+            m_cnt = (np.concatenate([p[2] for p in pieces]) if pieces
+                     else np.zeros(0, np.int64))
+            rid = (np.concatenate([p[0] for p in pieces]) if pieces
+                   else np.zeros(0, np.int64))
+            strand = (np.concatenate([p[1] for p in pieces]) if pieces
+                      else np.zeros(0, np.uint8))
+            if pieces:
+                ess = [p[3] for p in pieces]
+                es = al.EditScripts(*[
+                    np.concatenate([getattr(e, f) for e in ess])
+                    for f in ("start_pos", "head_ins", "tail_ins",
+                              "n_edits", "runs_flat", "types_flat",
+                              "bases_flat")])
+            else:
+                z = lambda dt: np.zeros(0, dtype=dt)
+                es = al.EditScripts(z(np.int64), z(np.int64), z(np.int64),
+                                    z(np.int64), z(np.int64), z(np.uint8),
+                                    z(np.uint8))
+            timings["emit"] = time.perf_counter() - _t_emit
+        else:
+            cons_flat = np.empty(ctot.value, np.uint8)
+            cons_len = np.empty(C, np.int64)
+            m_cnt = np.empty(C, np.int64)
+            rid = np.empty(M, np.int64)
+            strand = np.empty(M, np.uint8)
+            tstart_rel = np.empty(M, np.int64)
+            ops_len = np.empty(M, np.int64)
+            ops_flat = np.empty(otot.value, np.uint8)
+            lib.ns_engine_fetch(
+                ctypes.c_void_p(h), cons_flat.ctypes.data_as(u8p),
+                c64(cons_len), c64(m_cnt), c64(rid),
+                strand.ctypes.data_as(u8p),
+                c64(tstart_rel), c64(ops_len),
+                ops_flat.ctypes.data_as(u8p),
+            )
     finally:
         lib.ns_engine_free(ctypes.c_void_p(h))
         if premz is not None:
@@ -1574,42 +1678,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
         DP_INFO.clear()
         DP_INFO.update(dp_backend="native")
 
-    if not cfg.checks and not os.environ.get("NSTPU_TRACE"):
-        # flat fast path: the fetch output is already the member-order
-        # flat layout the serializer wants — extract edit streams directly
-        # instead of materializing per-member Python objects only to
-        # re-flatten them in _emit_group (measured ~1s on the 60 Mb bench)
-        _t_emit = time.perf_counter()
-        ops_off = np.zeros(M + 1, np.int64)
-        np.cumsum(ops_len, out=ops_off[1:])
-        codes_len = (store.lengths[rid].astype(np.int64) if M
-                     else np.zeros(0, np.int64))
-        codes_off = np.zeros(M + 1, np.int64)
-        np.cumsum(codes_len, out=codes_off[1:])
-        codes_flat = np.empty(int(codes_len.sum()), np.uint8)
-        u8pp = ctypes.POINTER(ctypes.c_uint8)
-        i64pp = ctypes.POINTER(ctypes.c_int64)
-        lib.ns_unpack_oriented(
-            packed.ctypes.data_as(u8pp),
-            store.offsets.ctypes.data_as(i64pp),
-            store.lengths.ctypes.data_as(i64pp),
-            rid.ctypes.data_as(i64pp), strand.ctypes.data_as(u8pp),
-            ctypes.c_int64(M), codes_off.ctypes.data_as(i64pp),
-            codes_flat.ctypes.data_as(u8pp),
-        )
-        res = al.AlignResult(
-            cost=np.zeros(M, np.int32), tstart=tstart_rel,
-            tend=np.zeros(M, np.int64),
-            ops_flat=ops_flat, ops_off=ops_off[:-1], ops_len=ops_len,
-        )
-        es = al.ops_to_edit_scripts(res, np.arange(M), codes_flat,
-                                    codes_off[:-1], codes_len)
-        consensus_list = []
-        cpos = 0
-        for c in range(C):
-            consensus_list.append(cons_flat[cpos: cpos + int(cons_len[c])])
-            cpos += int(cons_len[c])
-        timings["emit"] = time.perf_counter() - _t_emit
+    if flat_fast:
         return {
             "consensus_list": consensus_list,
             "reads_per_contig": m_cnt,
