@@ -22,21 +22,23 @@ namespace {
 // s[n-1] must be a unique smallest sentinel (0).
 // ---------------------------------------------------------------------------
 
-void sais_int(const int32_t* s, int32_t* SA, int32_t n, int32_t K) {
+template <typename C>
+void sais_int(const C* s, int32_t* SA, int32_t n, int32_t K) {
   std::vector<uint8_t> t(n);  // 1 = S-type
   t[n - 1] = 1;
   for (int32_t i = n - 2; i >= 0; --i)
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
   auto isLMS = [&](int32_t i) { return i > 0 && t[i] && !t[i - 1]; };
 
-  std::vector<int32_t> bkt(K);
+  // bucket counts once per level (getBuckets used to re-scan s[] on
+  // every induce pass - 2 extra O(n) reads per call)
+  std::vector<int32_t> cnt(K, 0), bkt(K);
+  for (int32_t i = 0; i < n; ++i) cnt[s[i]]++;
   auto getBuckets = [&](bool end) {
-    std::fill(bkt.begin(), bkt.end(), 0);
-    for (int32_t i = 0; i < n; ++i) bkt[s[i]]++;
     int32_t sum = 0;
     for (int32_t i = 0; i < K; ++i) {
-      sum += bkt[i];
-      bkt[i] = end ? sum : sum - bkt[i];
+      sum += cnt[i];
+      bkt[i] = end ? sum : sum - cnt[i];
     }
   };
 
@@ -96,7 +98,7 @@ void sais_int(const int32_t* s, int32_t* SA, int32_t n, int32_t K) {
   int32_t* SA1 = SA;
   int32_t* s1 = SA + n - n1;
   if (name < n1) {
-    sais_int(s1, SA1, n1, name);
+    sais_int<int32_t>(s1, SA1, n1, name);
   } else {
     for (int32_t i = 0; i < n1; ++i) SA1[s1[i]] = i;
   }
@@ -120,11 +122,11 @@ void sais_int(const int32_t* s, int32_t* SA, int32_t n, int32_t K) {
 // BWT of data[0..n) via the suffix array of data + sentinel.
 // Returns primary index (row of the sentinel-started suffix's predecessor).
 uint32_t bwt_forward(const uint8_t* data, int64_t n, uint8_t* out) {
-  std::vector<int32_t> s(n + 1);
-  for (int64_t i = 0; i < n; ++i) s[i] = int32_t(data[i]) + 1;
+  std::vector<uint16_t> s(n + 1);
+  for (int64_t i = 0; i < n; ++i) s[i] = uint16_t(data[i]) + 1;
   s[n] = 0;
   std::vector<int32_t> SA(n + 1);
-  sais_int(s.data(), SA.data(), int32_t(n + 1), 258);
+  sais_int<uint16_t>(s.data(), SA.data(), int32_t(n + 1), 258);
   uint32_t primary = 0;
   int64_t k = 0;
   for (int64_t i = 0; i <= n; ++i) {
