@@ -47,8 +47,16 @@ void* ns_join_run(
     int64_t* out_total)
 {
     const uint32_t EMPTY = 0xFFFFFFFFu;
-    // per-slot sorted (value, id)
-    std::vector<std::vector<uint32_t>> vals((size_t)n), ids((size_t)n);
+    // per-slot sorted (value, id), plus each read's own bucket extent.
+    // A query read's sketch value is by definition IN the sorted slot
+    // array, so its bucket is the value-run around its own sorted
+    // position — precomputing (run_lo, run_hi) per position turns the
+    // query phase's 2 binary searches per (read, slot) (~20M
+    // cache-missing probes on the 60 Mb bench, ~0.5 s) into two array
+    // reads.
+    std::vector<std::vector<uint32_t>> ids((size_t)n);
+    std::vector<std::vector<int32_t>> run_lo((size_t)n), run_hi((size_t)n);
+    std::vector<int32_t> pos_of((size_t)(N * n));
     #pragma omp parallel for schedule(dynamic, 1)
     for (int32_t j = 0; j < n; ++j) {
         std::vector<uint64_t> keyed((size_t)N);   // value<<32 | id: stable
@@ -56,11 +64,24 @@ void* ns_join_run(
             keyed[(size_t)i] =
                 ((uint64_t)sketches[(size_t)i * n + j] << 32) | (uint64_t)i;
         std::sort(keyed.begin(), keyed.end());
-        vals[j].resize((size_t)N);
         ids[j].resize((size_t)N);
+        run_lo[j].resize((size_t)N);
+        run_hi[j].resize((size_t)N);
         for (int64_t i = 0; i < N; ++i) {
-            vals[j][(size_t)i] = (uint32_t)(keyed[(size_t)i] >> 32);
-            ids[j][(size_t)i] = (uint32_t)keyed[(size_t)i];
+            const uint32_t id = (uint32_t)keyed[(size_t)i];
+            ids[j][(size_t)i] = id;
+            pos_of[(size_t)id * n + j] = (int32_t)i;
+        }
+        int64_t s = 0;
+        while (s < N) {
+            const uint64_t v = keyed[(size_t)s] >> 32;
+            int64_t e = s + 1;
+            while (e < N && (keyed[(size_t)e] >> 32) == v) ++e;
+            for (int64_t i = s; i < e; ++i) {
+                run_lo[j][(size_t)i] = (int32_t)s;
+                run_hi[j][(size_t)i] = (int32_t)e;
+            }
+            s = e;
         }
     }
 
@@ -81,6 +102,12 @@ void* ns_join_run(
 #endif
         JoinResult& out = parts[(size_t)tid];
         std::vector<uint32_t> local;
+        // count-array aggregation: gathered ids repeat up to n times, and
+        // sorting the whole ~n*bucket gather per read was the query
+        // phase's top cost; counting + sorting only the distinct ids
+        // (~bucket-sized) keeps the output order identical
+        std::vector<uint16_t> cnt16((size_t)N, 0);
+        std::vector<uint32_t> touched;
         const int64_t qlo = (int64_t)tid * chunk;
         const int64_t qhi = std::min(N, qlo + chunk);
         for (int64_t qi = qlo; qi < qhi; ++qi) {
@@ -89,11 +116,9 @@ void* ns_join_run(
             for (int32_t j = 0; j < n; ++j) {
                 const uint32_t v = sketches[(size_t)qi * n + j];
                 if (v == EMPTY) continue;
-                const std::vector<uint32_t>& V = vals[j];
-                const uint32_t* lo =
-                    std::lower_bound(V.data(), V.data() + N, v);
-                const uint32_t* hi =
-                    std::upper_bound(lo, V.data() + N, v);
+                const int32_t p = pos_of[(size_t)qi * n + j];
+                const int32_t lo = run_lo[j][(size_t)p];
+                const int32_t hi = run_hi[j][(size_t)p];
                 const int64_t b = hi - lo;
                 if (b > max_bucket) {
                     out.dropped_buckets += 1;
@@ -101,25 +126,24 @@ void* ns_join_run(
                     capped = true;
                     continue;
                 }
-                if (b == 0) continue;
-                const int64_t base = lo - V.data();
-                const uint32_t* I = ids[j].data() + base;
+                const uint32_t* I = ids[j].data() + lo;
                 local.insert(local.end(), I, I + b);
             }
             if (capped) out.capped_reads += 1;
             if ((int64_t)local.size() < threshold) continue;
-            std::sort(local.begin(), local.end());
-            size_t s = 0;
-            while (s < local.size()) {
-                size_t e = s;
-                while (e < local.size() && local[e] == local[s]) ++e;
-                if ((int64_t)(e - s) >= threshold &&
-                    (int64_t)local[s] != qi) {
+            touched.clear();
+            for (uint32_t id : local) {
+                if (cnt16[id]++ == 0) touched.push_back(id);
+            }
+            std::sort(touched.begin(), touched.end());
+            for (uint32_t id : touched) {
+                const int64_t c = cnt16[id];
+                cnt16[id] = 0;
+                if (c >= threshold && (int64_t)id != qi) {
                     out.q.push_back(qi);
-                    out.r.push_back((int64_t)local[s]);
-                    out.cnt.push_back((int64_t)(e - s));
+                    out.r.push_back((int64_t)id);
+                    out.cnt.push_back(c);
                 }
-                s = e;
             }
         }
     }
