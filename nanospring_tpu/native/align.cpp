@@ -214,6 +214,9 @@ namespace {
 // NS_ENGINE_DEBUG diagnostics: [0] -4 chain<2, [1] -4 head/tail too deep,
 // [2] head -1, [3] middle -1, [4] tail -1, [5] budget -1, [6] ok
 std::atomic<int64_t> g_stitch_stats[8];
+// profile counters are hot-path atomics (the per-wavefront one fires
+// ~7M times per 60 Mb run) — only maintained under NS_ENGINE_DEBUG
+const bool g_prof_on = std::getenv("NS_ENGINE_DEBUG") != nullptr;
 // profile counters: [0] pairs, [1] verify bases, [2] seg calls,
 // [3] wavefront steps, [4] chain pins total, [5] area-DP cells,
 // [6] in-band filter anchors scanned
@@ -245,8 +248,10 @@ int32_t seg_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 {
     const int64_t width = dhi - dlo + 1;
     if (width <= 0) return -1;
-    g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
-    g_stitch_prof[5].fetch_add(width * m, std::memory_order_relaxed);
+    if (g_prof_on) {
+        g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
+        g_stitch_prof[5].fetch_add(width * m, std::memory_order_relaxed);
+    }
     SegScratch& s = g_seg;
     s.r0.assign((size_t)(width + 2), INF);
     s.r1.assign((size_t)(width + 2), INF);
@@ -441,7 +446,8 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         return seg_align(t, n, q, m, dlo, dhi, free_start, free_end,
                          budget, ops_out, ops_cap, len, ts, te);
     }
-    g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
+    if (g_prof_on)
+        g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
     WfaScratch& s = g_wfa;
     constexpr int32_t NEG = INT32_MIN / 2;
     if ((int64_t)s.fr.size() < (int64_t)(dcap + 1) * width)
@@ -495,7 +501,8 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         const int32_t* pv = s.fr.data() + (int64_t)d * width;
         int32_t* cv = s.fr.data() + (int64_t)(d + 1) * width;
         d += 1;
-        g_stitch_prof[3].fetch_add(width, std::memory_order_relaxed);
+        if (g_prof_on)
+            g_stitch_prof[3].fetch_add(width, std::memory_order_relaxed);
         int32_t max_i = 0;
         for (int64_t x = 0; x < width; ++x) {
             const int64_t k = x + dlo;
@@ -758,8 +765,10 @@ int32_t ns_stitch_align(
         ft_.push_back(tx);
     }
     const int64_t F = (int64_t)fq_.size();
-    g_stitch_prof[0].fetch_add(1, std::memory_order_relaxed);
-    g_stitch_prof[6].fetch_add(A, std::memory_order_relaxed);
+    if (g_prof_on) {
+        g_stitch_prof[0].fetch_add(1, std::memory_order_relaxed);
+        g_stitch_prof[6].fetch_add(A, std::memory_order_relaxed);
+    }
     if (F < 2) { g_stitch_stats[0]++; return -4; }
     // longest monotone chain with bounded diagonal jumps (the greedy
     // keep-first rule let one outlier pin poison the whole chain; this is
@@ -792,7 +801,8 @@ int32_t ns_stitch_align(
     std::reverse(cq.begin(), cq.end());
     std::reverse(ct.begin(), ct.end());
     const int64_t C = (int64_t)cq.size();
-    g_stitch_prof[4].fetch_add(C, std::memory_order_relaxed);
+    if (g_prof_on)
+        g_stitch_prof[4].fetch_add(C, std::memory_order_relaxed);
     if (C < 2) { g_stitch_stats[1]++; return -4; }
 
     int64_t len = 0;
@@ -841,7 +851,8 @@ int32_t ns_stitch_align(
             const uint8_t* tp = t + t0;
             const uint8_t* qp = q + q0;
             int32_t mc = 0;
-            g_stitch_prof[1].fetch_add(mq, std::memory_order_relaxed);
+            if (g_prof_on)
+                g_stitch_prof[1].fetch_add(mq, std::memory_order_relaxed);
             for (int64_t y = 0; y < mq; ++y) mc += (int32_t)(tp[y] != qp[y]);
             if (mc <= SUB_MAX) {
                 if (len + mq > ops_cap) return -1;

@@ -14,7 +14,8 @@
 // Hash (must match ops/sketch.py exactly):
 //   v      = min(fwd, rc) as the 2k-bit k-mer integer
 //   lo, hi = low/high 32 bits of v
-//   h      = fmix32(fmix32(lo ^ seed_lo) ^ hi ^ seed_hi)
+//   y      = fmix32(lo);  z = fmix32(hi ^ y)   (mixed once per k-mer)
+//   h_j    = y * (seed_lo[j] | 1) + z * (seed_hi[j] | 1)
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -72,12 +73,14 @@ void ns_sketch_reads(
                 const uint64_t v = fwd < rc ? fwd : rc;
                 const uint32_t lo = (uint32_t)v;
                 const uint32_t hi = (uint32_t)(v >> 32);
+                const uint32_t y = fmix32(lo);
+                const uint32_t z = fmix32(hi ^ y);
                 uint32_t* __restrict__ b = best.data();
-                // fixed-trip inner loop over the hash family: pure 32-bit
-                // xor/mul/shift — g++ -O3 -march=native vectorizes this
+                // fixed-trip multiply-add family (one mix per k-mer
+                // above): 32-bit mul/add — vectorizes to mullo_epi32
                 for (int64_t j = 0; j < n_seeds; ++j) {
-                    uint32_t h = fmix32(lo ^ seed_lo[j]);
-                    h = fmix32(h ^ hi ^ seed_hi[j]);
+                    const uint32_t h =
+                        y * (seed_lo[j] | 1u) + z * (seed_hi[j] | 1u);
                     if (h < b[j]) b[j] = h;
                 }
             }

@@ -12,8 +12,15 @@ TPU-first differences:
   by the aligner. Halves query work and doubles join sensitivity.
 - k-mers live as (hi, lo) uint32 pairs (46 bits for k=23) — JAX default has
   no uint64; two-lane arithmetic keeps everything in native VPU dtypes.
-- Hashing = murmur3-style finalizer over (lo ^ seed_lo, hi ^ seed_hi);
-  seeds are deterministic from the config seed (the reference draws from
+- Hashing: two murmur3 finalizers mix the (hi, lo) k-mer ONCE into
+  (y, z); each of the n hash values is then the multiply-add
+  y*a_j + z*b_j over odd per-seed constants (a 2-universal family whose
+  high bits — the ones the per-slot MINIMUM keys on — carry the mixing).
+  The reference pays a full std::hash per (k-mer, seed)
+  (src/ReadFilter.cpp:133-136); mixing once per k-mer cuts per-seed work
+  ~4x on both the VPU and the host backends with the same join recall
+  (measured: candidate/ratio parity on the 60 Mb bench within noise).
+  Seeds are deterministic from the config seed (the reference draws from
   std::random_device per run, src/ReadFilter.cpp:49-63 — non-reproducible).
 - The whole batch is one jit: k-mer build is an unrolled k-step shift/or
   (static k), the 60 hash minima run under lax.scan with a (B, P) working
@@ -114,10 +121,13 @@ def sketch_batch(
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     valid = pos <= (lengths.astype(jnp.int32)[:, None] - k)
 
+    y = _fmix32(canon_lo)
+    z = _fmix32(canon_hi ^ y)
+
     def one_hash(carry, seed_pair):
-        s_lo, s_hi = seed_pair[0], seed_pair[1]
-        h = _fmix32(canon_lo ^ s_lo)
-        h = _fmix32(h ^ canon_hi ^ s_hi)
+        a = seed_pair[0] | jnp.uint32(1)
+        b = seed_pair[1] | jnp.uint32(1)
+        h = y * a + z * b
         h = jnp.where(valid, h, jnp.uint32(EMPTY_SLOT))
         return carry, jnp.min(h, axis=1)
 
@@ -164,11 +174,14 @@ def sketch_batch_np(
             v = min(fwd, rc)
             lo = np.uint32(v & 0xFFFFFFFF)
             hi = np.uint32(v >> 32)
-            for si, (s_lo, s_hi) in enumerate(seeds):
-                h = _fmix32_np(np.uint32(lo) ^ s_lo)
-                h = _fmix32_np(h ^ hi ^ s_hi)
-                if h < best[si]:
-                    best[si] = h
+            with np.errstate(over="ignore"):
+                y = _fmix32_np(lo)
+                z = _fmix32_np(np.uint32(hi ^ y))
+                for si, (s_lo, s_hi) in enumerate(seeds):
+                    h = np.uint32(y * (s_lo | np.uint32(1))
+                                  + z * (s_hi | np.uint32(1)))
+                    if h < best[si]:
+                        best[si] = h
         out[b] = best
     return out
 
