@@ -1480,14 +1480,24 @@ void ns_engine_fetch_range(void* handle, int64_t c0, int64_t c1,
                            int64_t* ops_len, uint8_t* ops_flat)
 {
     Engine* e = (Engine*)handle;
-    int64_t co = 0, oo = 0, mi = 0, ci = 0;
-    for (int64_t x = c0; x < c1; ++x) {
-        Contig& c = e->done[(size_t)x];
-        std::memcpy(cons_flat + co, c.cons(), (size_t)c.len);
-        co += c.len;
-        cons_len[ci] = c.len;
-        m_cnt[ci] = (int64_t)c.members.size();
-        ++ci;
+    const int64_t nc = c1 - c0;
+    std::vector<int64_t> coff((size_t)nc + 1, 0), moff((size_t)nc + 1, 0),
+        ooff((size_t)nc + 1, 0);
+    for (int64_t x = 0; x < nc; ++x) {
+        const Contig& c = e->done[(size_t)(c0 + x)];
+        int64_t ot = 0;
+        for (const Member& m : c.members) ot += m.raw_len;
+        coff[(size_t)x + 1] = coff[(size_t)x] + c.len;
+        moff[(size_t)x + 1] = moff[(size_t)x] + (int64_t)c.members.size();
+        ooff[(size_t)x + 1] = ooff[(size_t)x] + ot;
+    }
+    #pragma omp parallel for schedule(dynamic, 8)
+    for (int64_t x = 0; x < nc; ++x) {
+        Contig& c = e->done[(size_t)(c0 + x)];
+        std::memcpy(cons_flat + coff[(size_t)x], c.cons(), (size_t)c.len);
+        cons_len[x] = c.len;
+        m_cnt[x] = (int64_t)c.members.size();
+        int64_t mi = moff[(size_t)x], oo = ooff[(size_t)x];
         for (Member& m : c.members) {
             rid[mi] = m.rid;
             strand[mi] = m.strand;

@@ -1566,6 +1566,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
                 while c1 < C and acc + int(per_ops[c1]) <= slice_cap:
                     acc += int(per_ops[c1])
                     c1 += 1
+                _t1 = time.perf_counter()
                 Ms = int(per_m[c0:c1].sum())
                 cons_flat = np.empty(int(per_cons[c0:c1].sum()), np.uint8)
                 cons_len = np.empty(c1 - c0, np.int64)
@@ -1583,6 +1584,7 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
                     c64(tstart_s), c64(ops_len_s),
                     ops_flat.ctypes.data_as(u8p),
                 )
+                _t2 = time.perf_counter()
                 ops_off = np.zeros(Ms + 1, np.int64)
                 np.cumsum(ops_len_s, out=ops_off[1:])
                 codes_len = (store.lengths[rid_s].astype(np.int64) if Ms
@@ -1605,9 +1607,14 @@ def _grow_components_engine(store, cfg: CompressConfig, stats: FunnelStats,
                     ops_flat=ops_flat, ops_off=ops_off[:-1],
                     ops_len=ops_len_s,
                 )
+                _t3 = time.perf_counter()
                 es_s = al.ops_to_edit_scripts(res, np.arange(Ms),
                                               codes_flat, codes_off[:-1],
                                               codes_len)
+                if os.environ.get("NS_EMIT_DEBUG"):
+                    print(f"[emit] slice {c0}-{c1}: fetch {_t2-_t1:.3f}s "
+                          f"unpack {_t3-_t2:.3f}s es "
+                          f"{time.perf_counter()-_t3:.3f}s", flush=True)
                 cpos = 0
                 for ln in cons_len:
                     consensus_list.append(
