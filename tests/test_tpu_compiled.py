@@ -97,21 +97,36 @@ def test_compiled_tiled_kernel_long_reads():
 
 @needs_chip
 def test_e2e_tpu_aligner_long_reads(tmp_path):
-    """aligner=tpu end-to-end on an hs2-shaped (mean ~22 kb) dataset:
-    lossless archive with >0 kernel batches actually carried on-chip."""
+    """aligner=tpu end-to-end on an hs2-shaped dataset (mean ~22 kb, one
+    ultra-long >100 kb read in the tail): lossless archive, >0 kernel
+    batches actually on-chip, and >90% of DP bases NOT host-routed (the
+    round-3 verdict's done bar for the 32 kb ceiling lift)."""
     from nanospring_tpu import compressor, decompressor
     from nanospring_tpu.config import CompressConfig
     from nanospring_tpu.utils import synth
 
+    import numpy as np
+
     fq = str(tmp_path / "long.fastq")
-    reads = synth.make_dataset(fq, genome_len=220_000, num_reads=110,
-                               mean_len=22_000, seed=9, p_n_base=0.0005)
+    # one shared genome so the ultra-long read overlaps the others: it
+    # covers half the genome (>100 kb) and pads to m_pad 112k <= the
+    # kernel's 131,072-row cap, so it must ride the chip rather than the
+    # silent host fallback the old 32,768-row cap forced
+    rng = np.random.default_rng(9)
+    g = synth.random_genome(220_000, rng)
+    reads = synth.make_reads(g, 110, 22_000, rng, p_n_base=0.0005)
+    reads += synth.make_reads(g, 1, 110_000, rng)
+    synth.write_fastq(fq, reads, gz=False)
     arc = str(tmp_path / "long.nstpu")
     res = compressor.compress_file(
         fq, arc, CompressConfig(aligner="tpu", pipeline_workers=1),
         report=False)
     assert res["dp_info"]["dp_backend"] == "tpu"
     assert res["dp_info"]["tpu_batches"] > 0
+    split = res.get("pipe_split", {})
+    dp_bases = split.get("dp_bases", 0)
+    routed = split.get("host_routed_long_bases", 0)
+    assert dp_bases > 0 and routed < 0.1 * dp_bases, (routed, dp_bases)
     out = str(tmp_path / "long.reads")
     decompressor.decompress_file(arc, out, report=False)
     assert open(out, "rb").read().splitlines() == reads
