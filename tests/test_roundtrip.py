@@ -194,3 +194,32 @@ def test_low_mem_multi_worker(tmp_path):
     assert res["funnel"].contigs >= 2
     leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".packed")]
     assert leftovers == [], leftovers
+
+
+def test_pathological_inputs(tmp_path):
+    """Adversarial shapes the regime benches never hit: thousands of
+    byte-identical reads (maximal bucket depth + consensus pile-up), a
+    megabase read among 5 kb reads (host ultra-long path), and pure
+    homopolymer reads (minimizer degeneracy: every k-mer identical)."""
+    rng = np.random.default_rng(31)
+    g = synth.random_genome(60_000, rng)
+    base = synth.make_reads(g, 40, 5_000, rng)
+
+    # 3,000 identical copies of one read + normal coverage
+    reads = base + [base[0]] * 3_000
+    _roundtrip(tmp_path, reads)
+
+    # one 1 Mb read spanning a 1.02 Mb genome + ordinary reads
+    g2 = synth.random_genome(1_020_000, rng)
+    mega = synth.make_reads(g2, 1, 1_000_000, rng)
+    small = synth.make_reads(g2, 50, 5_000, rng)
+    d2 = tmp_path / "mega"
+    d2.mkdir()
+    _roundtrip(d2, small + mega)
+
+    # pure homopolymers (every canonical k-mer equal -> degenerate
+    # sketches and minimizers) mixed with normal reads
+    homo = [bytes([c]) * 4_000 for c in b"ACGT" for _ in range(8)]
+    d3 = tmp_path / "homo"
+    d3.mkdir()
+    _roundtrip(d3, base + homo)
