@@ -495,16 +495,34 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
             done = true; done_k = x + dlo; done_d = 0; break;
         }
     const int64_t absdn = n - m < 0 ? m - n : n - m;
+    // active-lane range: the frontier can only grow one diagonal per
+    // wavefront, so scanning the full band every wavefront wasted
+    // ~width/d of the work on provably-NEG lanes (pinned-start gap cores
+    // — the bulk of the ~900k segment calls per 60 Mb run — start from a
+    // single diagonal). Two NEG sentinels are kept beyond each edge so
+    // the next row's (and the traceback's) x+-1 reads stay defined.
+    int64_t alo = 0, ahi = width - 1;
+    if (!free_start) {
+        if (dlo <= 0 && 0 <= dhi) alo = ahi = -dlo;
+        else { alo = 0; ahi = -1; }   // no seed: same slope-abort path
+    }
     int32_t d = 0;
     while (!done) {
         if (d >= dcap) return -1;    // budget exhausted: reject
         const int32_t* pv = s.fr.data() + (int64_t)d * width;
         int32_t* cv = s.fr.data() + (int64_t)(d + 1) * width;
         d += 1;
+        const int64_t nlo = alo > 0 ? alo - 1 : 0;
+        const int64_t nhi = ahi < width - 1 ? ahi + 1 : width - 1;
         if (g_prof_on)
-            g_stitch_prof[3].fetch_add(width, std::memory_order_relaxed);
+            g_stitch_prof[3].fetch_add(nhi - nlo + 1,
+                                       std::memory_order_relaxed);
+        for (int64_t x = nlo - 2 > 0 ? nlo - 2 : 0; x < nlo; ++x)
+            cv[x] = NEG;
+        for (int64_t x = nhi + 1; x <= nhi + 2 && x < width; ++x)
+            cv[x] = NEG;
         int32_t max_i = 0;
-        for (int64_t x = 0; x < width; ++x) {
+        for (int64_t x = nlo; x <= nhi; ++x) {
             const int64_t k = x + dlo;
             // candidates validity-checked (0 <= i <= m, j = i + k <= n);
             // NEG lanes fall through the comparisons and land below 0
@@ -522,6 +540,8 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
             if (best > max_i) max_i = best;
             if (!done && at_end(k, best)) { done = true; done_k = k; done_d = d; }
         }
+        alo = nlo;
+        ahi = nhi;
         // divergence-slope abort (the wavefront analog of ns_banded_align's):
         // a genuine overlap needs ~<0.2 edits per query base, a wrong-locus
         // core ~0.5 — without this, every divergent core walks the wavefront
