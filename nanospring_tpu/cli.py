@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-overlap", type=int, default=150)
     p.add_argument("--base-codec", default=None,
                    help="codec for .base/.lone streams (default: config)")
+    p.add_argument("--pos-codec", default=None,
+                   help="codec for the .pos stream (default: config)")
     p.add_argument("--default-codec", default=None,
                    help="codec for the remaining streams (default: nsbwt)")
     p.add_argument("-w", "--work-dir", default=None, help="temp dir root")
@@ -146,6 +148,8 @@ def _dispatch(argv: list[str] | None) -> int:
         )
         if args.base_codec:
             cfg.base_codec = args.base_codec
+        if args.pos_codec:
+            cfg.pos_codec = args.pos_codec
         if args.default_codec:
             cfg.default_codec = args.default_codec
         from .compressor import compress_file
