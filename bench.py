@@ -55,6 +55,11 @@ def main() -> int:
     here = os.path.abspath(__file__)
 
     def _inner(env, deadline: float | None):
+        """Returns (rc, claimed). rc None = killed for a missing claim
+        marker (tunnel hang). A genuine inner failure AFTER the chip
+        claim succeeded is forwarded, never masked by the CPU fallback —
+        a chip-path correctness bug must fail the bench, not silently
+        rerun on the CPU."""
         p = subprocess.Popen([sys.executable, here, "--inner"],
                              env=env, stdout=subprocess.PIPE,
                              stderr=sys.stderr.fileno())
@@ -62,35 +67,41 @@ def main() -> int:
             t0 = time.time()
             while p.poll() is None and time.time() - t0 < deadline:
                 time.sleep(2.0)
-            # the claim marker file appears after the inner warmup op
             if p.poll() is None and not os.path.exists(_claim_marker()):
                 p.kill()
                 p.wait()
-                return None
+                return None, False
         out, _ = p.communicate()
-        if p.returncode != 0:
-            return None
+        claimed = os.path.exists(_claim_marker())
         sys.stdout.write(out.decode())
-        return p.returncode
+        if p.returncode != 0:
+            sys.stderr.write(
+                f"[bench] inner run failed rc={p.returncode} "
+                f"(chip claim {'ok' if claimed else 'absent'})\n")
+        return p.returncode, claimed
 
     try:
         os.unlink(_claim_marker())
     except OSError:
         pass
     env = dict(os.environ, NSTPU_BENCH_CLAIM=_claim_marker())
-    rc = _inner(env, CLAIM_DEADLINE_S)
+    rc, claimed = _inner(env, CLAIM_DEADLINE_S)
     if rc == 0:
         return 0
+    if rc is not None and claimed:
+        return 1   # real failure past the claim: propagate, don't mask
     env = dict(os.environ, JAX_PLATFORMS="cpu", NSTPU_TPU_PROBE="0",
                NSTPU_BENCH_FORCE_CPU="1")
     env.setdefault("NSTPU_SKETCH", "native")
-    rc = _inner(env, None)
+    rc, _ = _inner(env, None)
     return 0 if rc == 0 else 1
 
 
 def _claim_marker() -> str:
+    # keyed by THIS watchdog's pid: two bench invocations from one shell
+    # must not share (and mutually erase) a marker
     return os.path.join(tempfile.gettempdir(),
-                        f"nstpu_bench_claim_{os.getppid()}_{os.getuid()}")
+                        f"nstpu_bench_claim_{os.getpid()}_{os.getuid()}")
 
 
 def _bench() -> int:

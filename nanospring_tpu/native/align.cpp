@@ -450,8 +450,15 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         g_stitch_prof[2].fetch_add(1, std::memory_order_relaxed);
     WfaScratch& s = g_wfa;
     constexpr int32_t NEG = INT32_MIN / 2;
-    if ((int64_t)s.fr.size() < (int64_t)(dcap + 1) * width)
-        s.fr.resize((size_t)((dcap + 1) * width));
+    // scratch rows grow geometrically as the wavefront deepens: sizing
+    // upfront for the full admission budget ((budget+1)*width) allocated
+    // ~0.5 GB per DP thread on a megabase read whose wavefront the slope
+    // abort ends after ~100 rows anyway
+    int64_t fr_rows = (int64_t)dcap + 1 < 256 ? (int64_t)dcap + 1 : 256;
+    if ((int64_t)s.fr.size() < fr_rows * width)
+        s.fr.resize((size_t)(fr_rows * width));
+    else
+        fr_rows = (int64_t)s.fr.size() / width;
     int32_t* f0 = s.fr.data();
 
     // snake: advance i while in range and bases match (j = i + k);
@@ -509,6 +516,11 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     int32_t d = 0;
     while (!done) {
         if (d >= dcap) return -1;    // budget exhausted: reject
+        if ((int64_t)d + 1 >= fr_rows) {
+            fr_rows = fr_rows * 2 < (int64_t)dcap + 1 ? fr_rows * 2
+                                                      : (int64_t)dcap + 1;
+            s.fr.resize((size_t)(fr_rows * width));
+        }
         const int32_t* pv = s.fr.data() + (int64_t)d * width;
         int32_t* cv = s.fr.data() + (int64_t)(d + 1) * width;
         d += 1;
@@ -960,29 +972,6 @@ int32_t ns_stitch_align(
     *tstart_out = tstart;
     *tend_out = tend;
     return cost;
-}
-
-// Glocal whole-pair aligner on the wavefront: the escalated full-band
-// retry's fast path (ns_banded_align semantics — query consumed fully,
-// target start/end free inside the +-W band around d0 — but cost scales
-// with edits^2-ish instead of band*len; the escalations are ~half genuine
-// at ~10% divergence, where this is ~5-10x cheaper than the area DP).
-int32_t ns_wfa_align(
-    const uint8_t* target, int64_t n,
-    const uint8_t* query, int64_t m,
-    int64_t d0, int32_t W, int32_t max_cost,
-    uint8_t* ops_out, int64_t ops_cap, int64_t* ops_len,
-    int64_t* tstart_out, int64_t* tend_out)
-{
-    int64_t len = 0;
-    const int32_t c = wfa_seg(target, n, query, m,
-                              d0 - W, d0 + W,
-                              /*free_start=*/true, /*free_end=*/true,
-                              max_cost, ops_out, ops_cap, &len,
-                              tstart_out, tend_out);
-    if (c < 0) return -1;
-    *ops_len = len;
-    return c;
 }
 
 // NS_ENGINE_DEBUG diagnostics for the stitched path.

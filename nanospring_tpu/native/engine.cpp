@@ -60,9 +60,6 @@ int64_t ns_accept_anchors(const uint8_t*, int64_t, int64_t, int64_t, int32_t,
                           int32_t, const uint64_t*, const int64_t*,
                           const uint8_t*, int64_t,
                           uint64_t*, int64_t*, uint8_t*);
-int32_t ns_wfa_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
-                    int64_t, int32_t, int32_t,
-                    uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
 int32_t ns_banded_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
                         int64_t, int32_t, int32_t,
                         uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
@@ -905,10 +902,15 @@ struct Engine {
         for (int64_t b = 0; b < (int64_t)batch.size(); ++b) {
             Placed& p = batch[(size_t)b];
             const int64_t m = p.qhi - p.qlo;
-            if (!p.item.full_band && m > 0 && m <= g_tpu.m_cap &&
+            const bool eligible = !p.item.full_band && m > 0;
+            if (eligible && m <= g_tpu.m_cap &&
                 (int64_t)tp_idx.size() < g_tpu.p_cap) {
                 tp_idx.push_back(b);
-            } else if (m > g_tpu.m_cap) {
+            } else if (eligible && (m > g_tpu.m_cap ||
+                       (int64_t)tp_idx.size() >= g_tpu.p_cap)) {
+                // host-routed for CAPACITY reasons only (row cap or slot
+                // cap): escalated full-band retries are host-bound by
+                // design and must not inflate the routing stats
                 n_host_long_pairs += 1;
                 n_host_long_bases += m;
             }
@@ -1126,8 +1128,13 @@ struct Engine {
                 (int32_t)((m * prm[P_MAXCOST_KB]) / 1000 + 8);
             // stitched first: verify anchor-to-anchor runs, DP only the
             // gaps (~5% of the bases). -4 = chain unusable -> full DP;
-            // -1 = reject -> apply() escalates to a full-band DP retry,
-            // so the exact-DP admission decision is preserved.
+            // -1 = reject -> apply() escalates to a full-band DP retry.
+            // The retry preserves the BAND-exact admission decision up to
+            // the divergence-slope abort both DPs share (align.cpp:156):
+            // a pair whose prefix cost exceeds 0.35/row + 240 is rejected
+            // for good — measured as verdict-neutral for every genuine
+            // overlap shape in the regime suite, and the reason rejects
+            // cost ~1/3 of a full scan instead of band*len.
             p.cost = -4;
             if (!p.item.full_band && (int64_t)p.aq.size() >= 2) {
                 tt = now_s();

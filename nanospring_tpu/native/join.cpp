@@ -47,16 +47,15 @@ void* ns_join_run(
     int64_t* out_total)
 {
     const uint32_t EMPTY = 0xFFFFFFFFu;
-    // per-slot sorted (value, id), plus each read's own bucket extent.
-    // A query read's sketch value is by definition IN the sorted slot
-    // array, so its bucket is the value-run around its own sorted
-    // position — precomputing (run_lo, run_hi) per position turns the
-    // query phase's 2 binary searches per (read, slot) (~20M
+    // per-slot sorted ids, plus each read's own bucket extent. A query
+    // read's sketch value is by definition IN the sorted slot array, so
+    // its bucket is the value-run around its own sorted position —
+    // scattering (run start, run end) per (read, slot) during the sort
+    // turns the query phase's 2 binary searches per (read, slot) (~20M
     // cache-missing probes on the 60 Mb bench, ~0.5 s) into two array
-    // reads.
+    // reads, at 12 B/entry of index (ids + blo + bhi).
     std::vector<std::vector<uint32_t>> ids((size_t)n);
-    std::vector<std::vector<int32_t>> run_lo((size_t)n), run_hi((size_t)n);
-    std::vector<int32_t> pos_of((size_t)(N * n));
+    std::vector<int32_t> blo((size_t)(N * n)), bhi((size_t)(N * n));
     #pragma omp parallel for schedule(dynamic, 1)
     for (int32_t j = 0; j < n; ++j) {
         std::vector<uint64_t> keyed((size_t)N);   // value<<32 | id: stable
@@ -65,21 +64,17 @@ void* ns_join_run(
                 ((uint64_t)sketches[(size_t)i * n + j] << 32) | (uint64_t)i;
         std::sort(keyed.begin(), keyed.end());
         ids[j].resize((size_t)N);
-        run_lo[j].resize((size_t)N);
-        run_hi[j].resize((size_t)N);
-        for (int64_t i = 0; i < N; ++i) {
-            const uint32_t id = (uint32_t)keyed[(size_t)i];
-            ids[j][(size_t)i] = id;
-            pos_of[(size_t)id * n + j] = (int32_t)i;
-        }
+        for (int64_t i = 0; i < N; ++i)
+            ids[j][(size_t)i] = (uint32_t)keyed[(size_t)i];
         int64_t s = 0;
         while (s < N) {
             const uint64_t v = keyed[(size_t)s] >> 32;
             int64_t e = s + 1;
             while (e < N && (keyed[(size_t)e] >> 32) == v) ++e;
             for (int64_t i = s; i < e; ++i) {
-                run_lo[j][(size_t)i] = (int32_t)s;
-                run_hi[j][(size_t)i] = (int32_t)e;
+                const uint32_t id = (uint32_t)keyed[(size_t)i];
+                blo[(size_t)id * n + j] = (int32_t)s;
+                bhi[(size_t)id * n + j] = (int32_t)e;
             }
             s = e;
         }
@@ -116,9 +111,8 @@ void* ns_join_run(
             for (int32_t j = 0; j < n; ++j) {
                 const uint32_t v = sketches[(size_t)qi * n + j];
                 if (v == EMPTY) continue;
-                const int32_t p = pos_of[(size_t)qi * n + j];
-                const int32_t lo = run_lo[j][(size_t)p];
-                const int32_t hi = run_hi[j][(size_t)p];
+                const int32_t lo = blo[(size_t)qi * n + j];
+                const int32_t hi = bhi[(size_t)qi * n + j];
                 const int64_t b = hi - lo;
                 if (b > max_bucket) {
                     out.dropped_buckets += 1;

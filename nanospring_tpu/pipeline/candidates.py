@@ -26,6 +26,15 @@ JOIN_STATS: dict = {"dropped_buckets": 0, "dropped_entries": 0,
                     "capped_reads": 0}
 
 
+def reset_join_stats() -> None:
+    """Zero the drop counters at the start of a candidate-graph build.
+    Counters ACCUMULATE across the joins of one build (the high-error
+    adaptive re-join must not overwrite the first join's drops) but must
+    not leak between compressions in one process, or from a native join
+    into a later fallback-join run."""
+    JOIN_STATS.update(dropped_buckets=0, dropped_entries=0, capped_reads=0)
+
+
 def all_pairs_native(sketches: np.ndarray, threshold: int,
                      max_bucket: int = 256):
     """All overlap-candidate pairs (q != r), sorted by (q, r), via the C++
@@ -60,9 +69,9 @@ def all_pairs_native(sketches: np.ndarray, threshold: int,
         )
         st3 = np.zeros(3, np.int64)
         lib.ns_join_stats(ctypes.c_void_p(h), st3.ctypes.data_as(i64p))
-        JOIN_STATS.update(dropped_buckets=int(st3[0]),
-                          dropped_entries=int(st3[1]),
-                          capped_reads=int(st3[2]))
+        JOIN_STATS["dropped_buckets"] += int(st3[0])
+        JOIN_STATS["dropped_entries"] += int(st3[1])
+        JOIN_STATS["capped_reads"] += int(st3[2])
     finally:
         lib.ns_join_free(ctypes.c_void_p(h))
     return q, r, cnt

@@ -1222,7 +1222,8 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
         if nat is not None:
             q_, r_, _cnt = nat
             return q_, r_
-        index = candidates.SketchIndex(sketches)
+        index = candidates.SketchIndex(sketches,
+                                       getattr(c, "max_bucket", 256))
         pairs_q: list[np.ndarray] = []
         pairs_r: list[np.ndarray] = []
         B = c.sketch_batch_reads
@@ -1237,6 +1238,7 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
         return q_, r_
 
     _t0 = time.perf_counter()
+    candidates.reset_join_stats()
     pq, pr = _sketch_and_join(cfg)
     # Adaptive recovery for high-error data (hs1-like old basecaller):
     # k=23 minhash sketches barely collide at ~10% error, so a sparse
