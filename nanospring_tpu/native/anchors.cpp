@@ -114,30 +114,25 @@ int32_t ns_anchor_vote_chain(
     *votes_out = (int64_t)diag.size();
 
     if (cap > 0 && aq_out && at_out && n_anchors_out) {
-        // full majority-strand match list in oriented query coords
-        std::vector<int64_t> cq, ct;
-        cq.reserve((size_t)c);
-        ct.reserve((size_t)c);
+        // full majority-strand match list in oriented query coords.
+        // Sorted as contiguous pairs (lexicographic == the previous
+        // (cq, ct) index sort, with in-cache compares instead of
+        // double-indirect lambda loads)
+        std::vector<std::pair<int64_t, int64_t>> cqt;
+        cqt.reserve((size_t)c);
         for (int64_t x = 0; x < c; ++x) {
             if ((bool)mrc[(size_t)x] != rc) continue;
             const int64_t qp =
                 rc ? (len_b - k - mpb[(size_t)x]) : mpb[(size_t)x];
-            cq.push_back(qp);
-            ct.push_back(mpa[(size_t)x]);
+            cqt.emplace_back(qp, mpa[(size_t)x]);
         }
-        const int64_t nc = (int64_t)cq.size();
-        std::vector<int64_t> ord((size_t)nc);
-        std::iota(ord.begin(), ord.end(), 0);
-        std::sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
-            if (cq[(size_t)a] != cq[(size_t)b])
-                return cq[(size_t)a] < cq[(size_t)b];
-            return ct[(size_t)a] < ct[(size_t)b];
-        });
+        const int64_t nc = (int64_t)cqt.size();
+        std::sort(cqt.begin(), cqt.end());
         int64_t m = 0;
         if (nc <= cap) {
             for (int64_t x = 0; x < nc; ++x) {
-                aq_out[m] = cq[(size_t)ord[(size_t)x]];
-                at_out[m] = ct[(size_t)ord[(size_t)x]];
+                aq_out[m] = cqt[(size_t)x].first;
+                at_out[m] = cqt[(size_t)x].second;
                 ++m;
             }
         } else {
@@ -145,8 +140,8 @@ int32_t ns_anchor_vote_chain(
             for (int64_t s = 0; s < cap; ++s) {
                 int64_t x = (s == cap - 1) ? nc - 1
                                            : (int64_t)((double)s * step);
-                aq_out[m] = cq[(size_t)ord[(size_t)x]];
-                at_out[m] = ct[(size_t)ord[(size_t)x]];
+                aq_out[m] = cqt[(size_t)x].first;
+                at_out[m] = cqt[(size_t)x].second;
                 ++m;
             }
         }

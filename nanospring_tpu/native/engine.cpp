@@ -18,6 +18,8 @@
 // C ABI, handle pattern. Calls sibling TUs' C functions directly.
 
 #include <algorithm>
+#include <array>
+#include <atomic>
 #include <chrono>
 #include <condition_variable>
 #include <mutex>
@@ -275,6 +277,10 @@ struct AnchorMap {
         vals[(size_t)x] = v;
         ++count;
     }
+    inline void prefetch(uint64_t k) const {
+        if (mask >= 0)
+            __builtin_prefetch(&vals[(size_t)(mix(k) & (uint64_t)mask)]);
+    }
     inline int64_t find(uint64_t k) const {    // ABSENT when missing
         if (mask < 0) return ABSENT;
         int64_t x = (int64_t)(mix(k) & (uint64_t)mask);
@@ -429,17 +435,40 @@ struct Engine {
     }
 
     void unpack_oriented(int64_t rid, int32_t is_rc, std::vector<uint8_t>& out) {
+        // table-driven: one packed byte -> 4 codes in a single u32 store
+        // (the per-base shift/mask loop was ~1/3 of place() wall)
+        static const std::array<std::array<uint32_t, 256>, 2> LUT = [] {
+            std::array<std::array<uint32_t, 256>, 2> t{};
+            for (int b = 0; b < 256; ++b)
+                for (int j = 0; j < 4; ++j) {
+                    const uint32_t c = (uint32_t)((b >> (2 * j)) & 3);
+                    t[0][b] |= c << (8 * j);                    // forward
+                    t[1][b] |= (3u - c) << (8 * (3 - j));       // rc order
+                }
+            return t;
+        }();
         const int64_t len = lengths[rid];
-        out.resize((size_t)len);
+        out.resize((size_t)len + 4);       // slack for the 4-wide stores
         const uint8_t* src = packed + offsets[rid];
+        const int64_t nb = (len + 3) / 4;
         if (!is_rc) {
-            for (int64_t i = 0; i < len; ++i)
-                out[(size_t)i] = (src[i / 4] >> (2 * (i % 4))) & 3;
+            uint8_t* dst = out.data();
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint32_t v = LUT[0][src[b]];
+                std::memcpy(dst + 4 * b, &v, 4);
+            }
         } else {
-            for (int64_t i = 0; i < len; ++i)
-                out[(size_t)(len - 1 - i)] =
-                    3 - ((src[i / 4] >> (2 * (i % 4))) & 3);
+            // byte b's 4 bases land reversed+complemented at the tail end;
+            // the final read starts at out[pad] where pad = 4*nb - len
+            uint8_t* dst = out.data();
+            for (int64_t b = 0; b < nb; ++b) {
+                const uint32_t v = LUT[1][src[b]];
+                std::memcpy(dst + 4 * (nb - 1 - b), &v, 4);
+            }
+            const int64_t pad = 4 * nb - len;
+            if (pad) std::memmove(dst, dst + pad, (size_t)len);
         }
+        out.resize((size_t)len);
     }
 
     Anchors build_minimizers(int64_t rid) {
@@ -599,21 +628,32 @@ struct Engine {
         if (reseed) activate_next_in_comp(comp, false);
     }
 
+    // place() sub-phase profile (NS_ENGINE_DEBUG): [0] mz fetch,
+    // [1] amap probe, [2] vote+chain, [3] unpack, [4] window copies
+    static std::atomic<int64_t> pl_ns[5];
+    static bool pl_dbg;
+
     bool place(const Item& it, Placed& out) {
         auto sit = states.find(it.cid);
         if (sit == states.end() || sit->second.closed) return false;
         Contig& st = sit->second;
+        const double tp0 = pl_dbg ? now_s() : 0;
         const Anchors& rb = forward_minimizers(it.rid);
+        if (pl_dbg) pl_ns[0] += (int64_t)((now_s() - tp0) * 1e9);
         if (rb.h.empty()) return false;
         // probe the contig-wide anchor map with the candidate's minimizers
+        const double tp1 = pl_dbg ? now_s() : 0;
         m_pa.clear(); m_pb.clear(); m_rc.clear();
-        for (size_t x = 0; x < rb.h.size(); ++x) {
+        const size_t R = rb.h.size();
+        for (size_t x = 0; x < R; ++x) {
+            if (x + 8 < R) st.amap.prefetch(rb.h[x + 8]);
             const int64_t hv = st.amap.find(rb.h[x]);
             if (hv == AnchorMap::ABSENT) continue;
             m_pa.push_back(hv >> 1);
             m_pb.push_back(rb.p[x]);
             m_rc.push_back((uint8_t)((hv & 1) != (int64_t)rb.f[x]));
         }
+        if (pl_dbg) pl_ns[1] += (int64_t)((now_s() - tp1) * 1e9);
         if (m_pa.empty()) return false;
         int32_t is_rc;
         int64_t d0_abs, votes, n_pins = 0;
@@ -621,12 +661,15 @@ struct Engine {
         const int64_t cap = (int64_t)m_pa.size();
         pin_q.resize((size_t)cap);
         pin_t.resize((size_t)cap);
-        if (!ns_anchor_vote_chain(m_pa.data(), m_pb.data(), m_rc.data(), cap,
-                                  len_fwd, (int32_t)prm[P_SEED_K],
-                                  (int32_t)prm[P_MAX_CHAIN],
-                                  &is_rc, &d0_abs, &votes,
-                                  pin_q.data(), pin_t.data(), cap, &n_pins))
-            return false;
+        const double tp2 = pl_dbg ? now_s() : 0;
+        const bool chain_ok = ns_anchor_vote_chain(
+            m_pa.data(), m_pb.data(), m_rc.data(), cap,
+            len_fwd, (int32_t)prm[P_SEED_K],
+            (int32_t)prm[P_MAX_CHAIN],
+            &is_rc, &d0_abs, &votes,
+            pin_q.data(), pin_t.data(), cap, &n_pins) != 0;
+        if (pl_dbg) pl_ns[2] += (int64_t)((now_s() - tp2) * 1e9);
+        if (!chain_ok) return false;
         const int64_t mlen = len_fwd;
         // adaptive band: the anchor median pins the diagonal well, so a
         // narrow band suffices (and yields tighter scripts: better ratio);
@@ -638,7 +681,9 @@ struct Engine {
         out.item = it;
         out.band = band;
         out.is_rc = is_rc;
+        const double tp3 = pl_dbg ? now_s() : 0;
         unpack_oriented(it.rid, is_rc, out.codes);
+        if (pl_dbg) pl_ns[3] += (int64_t)((now_s() - tp3) * 1e9);
         out.qlo = qlo;
         out.qhi = qhi;
         out.wlo = std::max(st.lo, d0_abs + qlo - band);
@@ -646,8 +691,10 @@ struct Engine {
         out.snap_lo = st.lo;
         out.snap_hi = st.hi();
         out.d0_win = (d0_abs + qlo) - out.wlo;
+        const double tp4 = pl_dbg ? now_s() : 0;
         out.tgt.assign(st.cons() + (out.wlo - st.lo),
                        st.cons() + (out.whi - st.lo));
+        if (pl_dbg) pl_ns[4] += (int64_t)((now_s() - tp4) * 1e9);
         // pins translated to (clipped query, window) coords for stitching
         out.aq.clear();
         out.at.clear();
@@ -1308,6 +1355,8 @@ thread_local std::vector<int64_t> Engine::pin_t;
 thread_local std::vector<int64_t> Engine::m_pa;
 thread_local std::vector<int64_t> Engine::m_pb;
 thread_local std::vector<uint8_t> Engine::m_rc;
+std::atomic<int64_t> Engine::pl_ns[5];
+bool Engine::pl_dbg = std::getenv("NS_ENGINE_DEBUG") != nullptr;
 
 }  // namespace
 
@@ -1431,6 +1480,12 @@ void* ns_engine_run(
                      "placefn %.2fs\n",
                      e->t_dp_stitch, e->t_dp_full, e->t_dp_resize,
                      e->t_polish, e->t_mz, e->t_placefn);
+        std::fprintf(stderr,
+                     "[engine] place split: mzfetch %.2fs probe %.2fs "
+                     "chain %.2fs unpack %.2fs wincopy %.2fs\n",
+                     Engine::pl_ns[0] / 1e9, Engine::pl_ns[1] / 1e9,
+                     Engine::pl_ns[2] / 1e9, Engine::pl_ns[3] / 1e9,
+                     Engine::pl_ns[4] / 1e9);
         std::fprintf(stderr,
                      "[engine] fullband classes: chain<2 %lld/%lld %.2fs | "
                      "structfail %lld/%lld %.2fs | escalated %lld/%lld "
