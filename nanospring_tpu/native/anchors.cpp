@@ -211,18 +211,24 @@ int64_t ns_accept_anchors(
     segs.reserve(64);
     std::vector<int64_t> seg_q;
     {
+        // coalesce by CLASS, not exact op: '=' and 's' both consume one
+        // query and one target base, so a 30-match/1-sub/40-match stretch
+        // is ONE diagonal segment for the qpos->tpos map (10x fewer segs
+        // than per-op coalescing on ~3%-error tapes)
+        auto cls = [](uint8_t o) -> int {
+            return o == 'i' ? 1 : (o == 'd' ? 2 : 0);
+        };
         int64_t tcur = tstart_abs, q = 0, x = 0;
         while (x < ops_len && q < mlen) {
-            const uint8_t o = ops[x];
+            const int c = cls(ops[x]);
             int64_t run = 1;
-            // coalesce runs of the same op kind
-            while (x + run < ops_len && ops[x + run] == o) ++run;
-            if (o == 'd') {
+            while (x + run < ops_len && cls(ops[x + run]) == c) ++run;
+            if (c == 2) {
                 tcur += run;
             } else {
-                segs.push_back({q, tcur, o});
+                segs.push_back({q, tcur, (uint8_t)(c == 1 ? 'i' : '=')});
                 q += run;
-                if (o != 'i') tcur += run;
+                if (c != 1) tcur += run;
             }
             x += run;
         }

@@ -710,8 +710,12 @@ struct Engine {
         return true;
     }
 
+    // accept() sub-profile: [0] splice, [1] accept_anchors, [2] amap merge
+    static std::atomic<int64_t> ac_ns[3];
+
     void accept(Contig& st, Placed& p, std::vector<uint8_t>& ops,
                 int64_t tstart_abs, int64_t tend_abs) {
+        const double ts0 = pl_dbg ? now_s() : 0;
         const int64_t mlen = (int64_t)p.codes.size();
         int64_t head = 0;
         while (head < (int64_t)ops.size() && ops[(size_t)head] == 'i') ++head;
@@ -729,18 +733,22 @@ struct Engine {
             st.append(p.codes.data() + mlen - tail, tail);
             std::fill(ops.end() - tail, ops.end(), '=');
         }
+        if (pl_dbg) ac_ns[0] += (int64_t)((now_s() - ts0) * 1e9);
         Member m;
         m.rid = p.item.rid;
         m.strand = (uint8_t)p.is_rc;
         m.tstart = tstart_abs;
         m.raw_len = (int64_t)ops.size();
+        const double tr0 = pl_dbg ? now_s() : 0;
         ops_rle_encode(ops.data(), (int64_t)ops.size(), m.ops);
+        if (pl_dbg) ap_ns[2] += (int64_t)((now_s() - tr0) * 1e9);
         st.members.push_back(std::move(m));
         st.total_aligned += mlen;
         // map the member's minimizers through its alignment and merge
         // them into the contig anchor map (first occurrence wins);
         // forward_minimizers re-creates the cache entry if a reordering
         // ever evicted it (place() normally populates it first)
+        const double tc0 = pl_dbg ? now_s() : 0;
         const Anchors& fw = forward_minimizers(p.item.rid);
         Anchors out;
         out.h.resize(fw.h.size());
@@ -751,11 +759,20 @@ struct Engine {
             (int32_t)prm[P_SEED_K],
             fw.h.data(), fw.p.data(), fw.f.data(), (int64_t)fw.h.size(),
             out.h.data(), out.p.data(), out.f.data());
+        const double tc1 = pl_dbg ? now_s() : 0;
         for (int64_t x = 0; x < n; ++x)
             st.amap.emplace_first(
                 out.h[(size_t)x],
                 out.p[(size_t)x] * 2 + (int64_t)out.f[(size_t)x]);
+        if (pl_dbg) {
+            ac_ns[1] += (int64_t)((tc1 - tc0) * 1e9);
+            ac_ns[2] += (int64_t)((now_s() - tc1) * 1e9);
+        }
     }
+
+    // apply() sub-phase profile (NS_ENGINE_DEBUG): [0] ops assembly,
+    // [1] accept: splice+anchor merge, [2] RLE encode, [3] enqueue
+    static std::atomic<int64_t> ap_ns[4];
 
     void apply(Placed& p) {
         auto sit = states.find(p.item.cid);
@@ -776,11 +793,13 @@ struct Engine {
             return;
         }
         const int64_t mlen = (int64_t)p.codes.size();
+        const double ta0 = pl_dbg ? now_s() : 0;
         std::vector<uint8_t> ops;
         ops.reserve((size_t)(p.qlo + p.ops_len + (mlen - p.qhi)));
         ops.insert(ops.end(), (size_t)p.qlo, 'i');
         ops.insert(ops.end(), p.ops.begin(), p.ops.begin() + p.ops_len);
         ops.insert(ops.end(), (size_t)(mlen - p.qhi), 'i');
+        if (pl_dbg) ap_ns[0] += (int64_t)((now_s() - ta0) * 1e9);
         const int64_t tstart_abs = p.wlo + p.tstart;
         const int64_t tend_abs = p.wlo + p.tend;
         int64_t head_run = 0;
@@ -805,8 +824,12 @@ struct Engine {
         }
         stat_aligned_ok += 1;
         claimed[p.item.rid] = 1;
+        const double ta1 = pl_dbg ? now_s() : 0;
         mz_cache_evict_after_accept(st, p, ops, tstart_abs, tend_abs);
+        const double ta2 = pl_dbg ? now_s() : 0;
+        if (pl_dbg) ap_ns[1] += (int64_t)((ta2 - ta1) * 1e9);
         enqueue_children(st, p.item.rid);
+        if (pl_dbg) ap_ns[3] += (int64_t)((now_s() - ta2) * 1e9);
         if (st.total_aligned > prm[P_EDGE_THR]) st.closed = true;
     }
 
@@ -1356,6 +1379,8 @@ thread_local std::vector<int64_t> Engine::m_pa;
 thread_local std::vector<int64_t> Engine::m_pb;
 thread_local std::vector<uint8_t> Engine::m_rc;
 std::atomic<int64_t> Engine::pl_ns[5];
+std::atomic<int64_t> Engine::ap_ns[4];
+std::atomic<int64_t> Engine::ac_ns[3];
 bool Engine::pl_dbg = std::getenv("NS_ENGINE_DEBUG") != nullptr;
 
 }  // namespace
@@ -1486,6 +1511,14 @@ void* ns_engine_run(
                      Engine::pl_ns[0] / 1e9, Engine::pl_ns[1] / 1e9,
                      Engine::pl_ns[2] / 1e9, Engine::pl_ns[3] / 1e9,
                      Engine::pl_ns[4] / 1e9);
+        std::fprintf(stderr,
+                     "[engine] apply split: opsasm %.2fs accept %.2fs "
+                     "rle %.2fs enqueue %.2fs | splice %.2fs anchors %.2fs "
+                     "amerge %.2fs\n",
+                     Engine::ap_ns[0] / 1e9, Engine::ap_ns[1] / 1e9,
+                     Engine::ap_ns[2] / 1e9, Engine::ap_ns[3] / 1e9,
+                     Engine::ac_ns[0] / 1e9, Engine::ac_ns[1] / 1e9,
+                     Engine::ac_ns[2] / 1e9);
         std::fprintf(stderr,
                      "[engine] fullband classes: chain<2 %lld/%lld %.2fs | "
                      "structfail %lld/%lld %.2fs | escalated %lld/%lld "
