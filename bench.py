@@ -146,14 +146,14 @@ def _bench() -> int:
     if marker:
         open(marker, "w").close()   # tell the watchdog the claim went through
 
-    # best-of-3: the shared dev hosts show 2-4x co-tenant noise between
+    # best-of-4: the shared dev hosts show 2-4x co-tenant noise between
     # identical runs (same deterministic outputs), so one sample badly
     # under-reports the pipeline
     arc = os.path.join(work, "bench.nstpu")
     compress_s = float("inf")
     best_stages = {}
     best_split = {}
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         res = compressor.compress_file(fq, arc, report=False)
         dt = time.time() - t0
