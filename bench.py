@@ -161,6 +161,7 @@ def _bench() -> int:
             compress_s = dt
             best_stages = {k: round(v, 2) for k, v in res["stage_s"].items()}
             best_split = res.get("pipe_split", {})
+            best_dp_info = res.get("dp_info", {})
 
     out = os.path.join(work, "bench.reads")
     decompress_s = float("inf")
@@ -215,7 +216,7 @@ def _bench() -> int:
         "pipeline_split": best_split,
         # which backend carried the batch DP + the steady-state probe
         # timings when a chip was attached (engine.cpp dp probe)
-        **res.get("dp_info", {}),
+        **best_dp_info,
         "regimes": _regime_ratios(work),
     }))
     return 0
