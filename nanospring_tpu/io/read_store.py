@@ -52,6 +52,7 @@ class ReadStore:
         self.exc_pos = exc_pos
         self.exc_byte = exc_byte
         self.temp_path: str | None = None  # low-mem spill file (owned)
+        self.low_mem: bool = False  # set by ReadStoreBuilder.finish()
 
     def cleanup(self) -> None:
         """Delete the low-mem spill file (no-op for in-memory stores).
@@ -298,6 +299,7 @@ class ReadStoreBuilder:
             exc_byte = np.zeros(0, dtype=np.uint8)
         store = ReadStore(buf, offsets, lengths, exc_read, exc_pos, exc_byte)
         store.temp_path = self._file_path  # None unless low_mem
+        store.low_mem = self.low_mem
         return store
 
     def cleanup(self) -> None:

@@ -165,7 +165,7 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_stitch_align.restype = i32
             lib.ns_stitch_align.argtypes = [
                 u8p, i64, u8p, i64, i64p, i64p, i64,
-                i64, i32, i32, u8p, i64, i64p, i64p, i64p,
+                i64, i32, i32, i32, u8p, i64, i64p, i64p, i64p,
             ]
             lib.ns_accept_anchors.restype = i64
             lib.ns_accept_anchors.argtypes = [

@@ -558,9 +558,11 @@ int32_t wfa_seg(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
         // a genuine overlap needs ~<0.2 edits per query base, a wrong-locus
         // core ~0.5 — without this, every divergent core walks the wavefront
         // to the full admission budget (d*width steps). |n-m| allows the
-        // net-indel cost; 100 is burst headroom.
+        // net-indel cost; 100 is burst headroom. Returns -2 (not -1): the
+        // slope is wrong-locus evidence, so callers treat it as a final
+        // verdict rather than a band/budget miss worth rescuing.
         if (!done && d > (int32_t)((7LL * max_i) / 20 + 100 + absdn))
-            return -1;
+            return -2;
     }
 
     // traceback through the stored wavefronts
@@ -754,7 +756,13 @@ int32_t core_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
                 t + pt, gt, q + pq, gq,
                 (dn < 0 ? dn : 0) - pad, (dn > 0 ? dn : 0) + pad,
                 fs, fe, budget - cost, ops_out, ops_cap, len, &sts, &ste);
-            if (c1 < 0) { *len = len0; g_core_prof[2].fetch_add(1, std::memory_order_relaxed); return -1; }
+            if (c1 < 0) {
+                // propagate the wavefront's verdict (-2 divergence is
+                // final for the caller; -1 band/budget is rescuable)
+                *len = len0;
+                g_core_prof[2].fetch_add(1, std::memory_order_relaxed);
+                return c1;
+            }
             cost += c1;
             if (fs) *ts = sts;
             if (fe) *te = pt + ste;
@@ -776,10 +784,11 @@ int32_t core_align(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
 int32_t ns_stitch_align(
     const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
     const int64_t* aq, const int64_t* at, int64_t A,
-    int64_t d0, int32_t W, int32_t max_cost,
+    int64_t d0, int32_t W, int32_t Wmax, int32_t max_cost,
     uint8_t* ops_out, int64_t ops_cap, int64_t* ops_len,
     int64_t* tstart_out, int64_t* tend_out)
 {
+    if (Wmax < W) Wmax = W;
     constexpr int64_t JUMP_MAX = 64;    // max diag shift between pins
     constexpr int64_t LOOKBACK = 32;    // chain-DP lookback bound
     constexpr int32_t SUB_MAX = 3;      // mismatches tolerated per run
@@ -840,41 +849,92 @@ int32_t ns_stitch_align(
     int64_t len = 0;
     int32_t cost = 0;
     int64_t tstart = ct.front();
+    int64_t tend = ct.back();
 
-    // head: free target start, pinned end at (cq0, ct0)
-    if (cq.front() > 0) {
-        const int64_t hq = cq.front();
-        const int64_t pad = std::min<int64_t>(W, 8 + hq / 8);
-        const int64_t ts0 = std::max<int64_t>(0, ct.front() - hq - pad);
-        const int64_t n1 = ct.front() - ts0;
-        // if the query head overhangs the target start (n1 < hq), the path
-        // climbs j == 0 with leading inserts: j - i spans up to 0 there
-        int64_t sts = 0, ste = 0;
+    // Gap-segment policy (round-4 bench: stitch rejects fed a full-band
+    // re-queue that was 73% of DP wall for 10.5% of bases, and 73% of the
+    // escalated pairs rejected AGAIN after paying band*len cells):
+    //   - core_align handles big segments; any failure falls through to
+    //     the chain-free wavefront, whose verdict is authoritative
+    //     (core's internal 16-mer chain can mis-pin inside repeats, so
+    //     its budget rejects are not final; measured: ~100 pairs per
+    //     60 Mb bench accept here that used to need the full-band
+    //     escalation).
+    //   - the wavefront distinguishes WHY it failed: -2 = divergence
+    //     slope abort (wrong-locus evidence -> the pair is rejected for
+    //     good and the engine skips the full-band escalation), -1 =
+    //     band/budget pressure (a wider band may fix it -> pad rescue
+    //     here, then pin backoff, then the engine escalation).
+    //   - pad rescue: retry the segment with the pad widened to Wmax
+    //     (the escalation band). pin backoff: head/tail failures drop up
+    //     to BACKOFF_MAX outermost pins (mis-pinned chain ends).
+    // In-place rescues count g_stitch_stats[7] ("rescued").
+    constexpr int64_t BACKOFF_MAX = 2;
+    const auto run_gap = [&](const uint8_t* ts, int64_t ns, const uint8_t* qs,
+                             int64_t ms, int64_t dlo, int64_t dhi, bool fs,
+                             bool fe, int64_t* sts, int64_t* ste) -> int32_t {
         int32_t c1 = -3;
-        if (hq * n1 >= CORE_RESEED_CELLS)
-            c1 = core_align(
-                t + ts0, n1, q, hq,
-                (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
-                true, false, max_cost - cost,
-                ops_out, ops_cap, &len, &sts, &ste);
-        if (c1 == -3)
-            c1 = wfa_seg(
-                t + ts0, n1, q, hq,
-                (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
-                /*free_start=*/true,
-                /*free_end=*/false, max_cost - cost,
-                ops_out, ops_cap, &len, &sts, &ste);
-        if (c1 < 0) {
+        if (ms * ns >= CORE_RESEED_CELLS)
+            c1 = core_align(ts, ns, qs, ms, dlo, dhi, fs, fe,
+                            max_cost - cost, ops_out, ops_cap, &len, sts, ste);
+        if (c1 == -2) return -2;     // core sub-gap hit the slope abort
+        if (c1 < 0)
+            c1 = wfa_seg(ts, ns, qs, ms, dlo, dhi, fs, fe,
+                         max_cost - cost, ops_out, ops_cap, &len, sts, ste);
+        return c1;
+    };
+
+    // head: free target start, pinned end at (cq[lo_pin], ct[lo_pin])
+    int64_t lo_pin = 0;
+    if (cq.front() > 0) {
+        int32_t c1 = -1;
+        int64_t sts = 0, ts0 = 0;
+        int64_t tries = 0;
+        for (;;) {
+            const int64_t hq = cq[(size_t)lo_pin];
+            const int64_t tpin = ct[(size_t)lo_pin];
+            const int64_t pad =
+                std::min<int64_t>(tries ? Wmax : W, 8 + hq / 8);
+            ts0 = std::max<int64_t>(0, tpin - hq - pad);
+            const int64_t n1 = tpin - ts0;
+            // if the query head overhangs the target start (n1 < hq), the
+            // path climbs j == 0 with leading inserts
+            int64_t ste = 0;
+            c1 = run_gap(t + ts0, n1, q, hq,
+                         (n1 - hq) - pad, std::max<int64_t>(0, n1 - hq) + pad,
+                         /*fs=*/true, /*fe=*/false, &sts, &ste);
+            if (c1 >= 0) {
+                if (tries) g_stitch_stats[7]++;
+                break;
+            }
+            if (c1 == -1 && tries == 0 &&
+                std::min<int64_t>(Wmax, 8 + hq / 8) > pad) {
+                tries = 1;           // pad rescue at the escalation band
+                continue;
+            }
+            if (c1 == -1 && tries <= BACKOFF_MAX &&
+                lo_pin < BACKOFF_MAX && C - 1 - (lo_pin + 1) >= 1) {
+                lo_pin += 1;         // drop a possibly mis-pinned first pin
+                tries += 1;
+                continue;
+            }
             g_stitch_stats[2]++;
             stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 2);
-            return -1;
+            return c1 == -2 ? -2 : -1;
         }
         cost += c1;
         tstart = ts0 + sts;
     }
 
-    // middles: between consecutive pins
-    for (int64_t x = 1; x < C; ++x) {
+    // middles between consecutive pins [lo_pin..hi_pin]; pin-boundary
+    // prefix state (len, cost) is recorded so a tail backoff can undo the
+    // final middle segment when it drops the last pin
+    std::vector<int64_t> pref_len((size_t)C, 0);
+    std::vector<int32_t> pref_cost((size_t)C, 0);
+    int64_t hi_pin = C - 1;
+    for (int64_t x = lo_pin + 1; x <= hi_pin; ++x) {
+        pref_len[(size_t)x] = len;
+        pref_cost[(size_t)x] = cost;
         const int64_t q0 = cq[(size_t)x - 1], q1 = cq[(size_t)x];
         const int64_t t0 = ct[(size_t)x - 1], t1 = ct[(size_t)x];
         const int64_t mq = q1 - q0, mt = t1 - t0;
@@ -910,61 +970,80 @@ int32_t ns_stitch_align(
         for (int64_t y = 0; y < pre; ++y) ops_out[len++] = '=';
         if (cq1 > 0 || ct1 > 0) {
             const int64_t dn = ct1 - cq1;
-            const int64_t pad =
-                std::min<int64_t>(W, 4 + std::max(cq1, ct1) / 24);
-            int64_t sts = 0, ste = 0;
-            int32_t c1 = -3;
-            if (cq1 * ct1 >= CORE_RESEED_CELLS)
-                c1 = core_align(
-                    tp + pre, ct1, qp + pre, cq1,
-                    std::min<int64_t>(0, dn) - pad,
-                    std::max<int64_t>(0, dn) + pad,
-                    false, false, max_cost - cost,
-                    ops_out, ops_cap, &len, &sts, &ste);
-            if (c1 == -3)
-                c1 = wfa_seg(
-                    tp + pre, ct1, qp + pre, cq1,
-                    std::min<int64_t>(0, dn) - pad,
-                    std::max<int64_t>(0, dn) + pad,
-                    /*free_start=*/false, /*free_end=*/false, max_cost - cost,
-                    ops_out, ops_cap, &len, &sts, &ste);
-            if (c1 < 0) { g_stitch_stats[3]++; return -1; }
+            int32_t c1 = -1;
+            for (int rescue = 0; rescue < 2; ++rescue) {
+                const int64_t pad = std::min<int64_t>(
+                    rescue ? Wmax : W, 4 + std::max(cq1, ct1) / 24);
+                int64_t sts = 0, ste = 0;
+                c1 = run_gap(tp + pre, ct1, qp + pre, cq1,
+                             std::min<int64_t>(0, dn) - pad,
+                             std::max<int64_t>(0, dn) + pad,
+                             /*fs=*/false, /*fe=*/false, &sts, &ste);
+                if (c1 >= 0) {
+                    if (rescue) g_stitch_stats[7]++;
+                    break;
+                }
+                if (c1 == -2) break;   // diverged: rescue cannot help
+                if (rescue == 0 &&
+                    std::min<int64_t>(Wmax, 4 + std::max(cq1, ct1) / 24) <=
+                        std::min<int64_t>(W, 4 + std::max(cq1, ct1) / 24))
+                    break;  // pad already length-capped below W
+            }
+            if (c1 < 0) {
+                g_stitch_stats[3]++;
+                return c1 == -2 ? -2 : -1;
+            }
             cost += c1;
         }
         if (len + suf > ops_cap) return -1;
         for (int64_t y = 0; y < suf; ++y) ops_out[len++] = '=';
     }
 
-    // tail: pinned start at the last pin, free target end
-    int64_t tend = ct.back();
-    if (m - cq.back() > 0) {
-        const int64_t tq = m - cq.back();
-        const int64_t pad = std::min<int64_t>(W, 8 + tq / 8);
-        const int64_t n1 = std::min(n, ct.back() + tq + pad) - ct.back();
-        // if the query tail overhangs the target end (n1 < tq), the path
-        // descends j == n1 with trailing inserts: j - i reaches n1 - tq
-        int64_t sts = 0, ste = 0;
-        int32_t c1 = -3;
-        if (tq * n1 >= CORE_RESEED_CELLS)
-            c1 = core_align(
-                t + ct.back(), n1, q + cq.back(), tq,
-                std::min<int64_t>(0, n1 - tq) - pad, pad,
-                false, true, max_cost - cost,
-                ops_out, ops_cap, &len, &sts, &ste);
-        if (c1 == -3)
-            c1 = wfa_seg(
-                t + ct.back(), n1, q + cq.back(), tq,
-                std::min<int64_t>(0, n1 - tq) - pad, pad,
-                /*free_start=*/false, /*free_end=*/true,
-                max_cost - cost,
-                ops_out, ops_cap, &len, &sts, &ste);
-        if (c1 < 0) {
+    // tail: pinned start at the last kept pin, free target end
+    tend = ct[(size_t)hi_pin];
+    if (m - cq[(size_t)hi_pin] > 0) {
+        int32_t c1 = -1;
+        int64_t ste_keep = 0;
+        int64_t tries = 0, backoffs = 0;
+        for (;;) {
+            const int64_t tq = m - cq[(size_t)hi_pin];
+            const int64_t qpin = cq[(size_t)hi_pin];
+            const int64_t tpin = ct[(size_t)hi_pin];
+            const int64_t pad =
+                std::min<int64_t>(tries ? Wmax : W, 8 + tq / 8);
+            const int64_t n1 = std::min(n, tpin + tq + pad) - tpin;
+            // if the query tail overhangs the target end (n1 < tq), the
+            // path descends j == n1 with trailing inserts
+            int64_t sts = 0, ste = 0;
+            c1 = run_gap(t + tpin, n1, q + qpin, tq,
+                         std::min<int64_t>(0, n1 - tq) - pad, pad,
+                         /*fs=*/false, /*fe=*/true, &sts, &ste);
+            if (c1 >= 0) {
+                ste_keep = ste;
+                if (tries) g_stitch_stats[7]++;
+                break;
+            }
+            if (c1 == -1 && tries == 0 &&
+                std::min<int64_t>(Wmax, 8 + tq / 8) > pad) {
+                tries = 1;           // pad rescue at the escalation band
+                continue;
+            }
+            if (c1 == -1 && backoffs < BACKOFF_MAX && hi_pin - 1 > lo_pin) {
+                // drop a possibly mis-pinned last pin: rewind the middle
+                // segment that ended at it, then retry the larger tail
+                len = pref_len[(size_t)hi_pin];
+                cost = pref_cost[(size_t)hi_pin];
+                hi_pin -= 1;
+                backoffs += 1;
+                tries += 1;
+                continue;
+            }
             g_stitch_stats[4]++;
             stitch_dump(t, n, q, m, aq, at, A, d0, W, max_cost, 4);
-            return -1;
+            return c1 == -2 ? -2 : -1;
         }
         cost += c1;
-        tend = ct.back() + ste;
+        tend = ct[(size_t)hi_pin] + ste_keep;
     }
     if (cost > max_cost) { g_stitch_stats[5]++; return -1; }
     g_stitch_stats[6]++;
@@ -978,6 +1057,39 @@ int32_t ns_stitch_align(
 void ns_stitch_stats(int64_t* out8)
 {
     for (int i = 0; i < 8; ++i) out8[i] = g_stitch_stats[i].load();
+}
+
+// Zero the stitch/core profile counters (called at engine-run start so
+// NS_ENGINE_DEBUG prints per-run numbers, not process-cumulative ones).
+void ns_stitch_stats_reset()
+{
+    for (int i = 0; i < 8; ++i) g_stitch_stats[i] = 0;
+    for (int i = 0; i < 8; ++i) g_stitch_prof[i] = 0;
+    for (int i = 0; i < 8; ++i) g_core_prof[i] = 0;
+}
+
+// Chain-free full-window aligner on the wavefront core: same diagonal
+// band [d0-W, d0+W], same unit costs, and free target start/end as
+// ns_banded_align — so the optimal cost and the accept/reject verdict
+// are identical — but the work scales with edits*band + snake bytes/8
+// instead of band*len cells. This is the engine's full-band escalation
+// tier (round-4 bench: the area DP there was 73% of DP wall for 10.5%
+// of bases, with 73% of escalated pairs rejecting again after paying
+// band*len; the wavefront's divergence-slope abort ends those rejects
+// at a few hundred wavefronts instead). Reference role: the escalation
+// replaces minimap2's ksw_extz2_sse full-extension fallback
+// (minimap2/align.c:329).
+int32_t ns_wfa_align(
+    const uint8_t* target, int64_t n,
+    const uint8_t* query, int64_t m,
+    int64_t d0, int32_t W, int32_t max_cost,
+    uint8_t* ops_out, int64_t ops_cap, int64_t* ops_len,
+    int64_t* tstart_out, int64_t* tend_out)
+{
+    *ops_len = 0;
+    return wfa_seg(target, n, query, m, d0 - W, d0 + W,
+                   /*free_start=*/true, /*free_end=*/true, max_cost,
+                   ops_out, ops_cap, ops_len, tstart_out, tend_out);
 }
 
 void ns_stitch_prof(int64_t* out8)

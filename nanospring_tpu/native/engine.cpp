@@ -56,8 +56,11 @@ int32_t ns_anchor_vote_chain(
     int64_t*, int64_t*, int64_t, int64_t*);
 int32_t ns_stitch_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
                         const int64_t*, const int64_t*, int64_t,
-                        int64_t, int32_t, int32_t,
+                        int64_t, int32_t, int32_t, int32_t,
                         uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
+int32_t ns_wfa_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                     int64_t, int32_t, int32_t,
+                     uint8_t*, int64_t, int64_t*, int64_t*, int64_t*);
 int64_t ns_accept_anchors(const uint8_t*, int64_t, int64_t, int64_t, int32_t,
                           int32_t, const uint64_t*, const int64_t*,
                           const uint8_t*, int64_t,
@@ -784,7 +787,13 @@ struct Engine {
         Contig& st = sit->second;
         if (p.cost < 0) {
             n_reject += 1;
-            if (!p.item.full_band && prm[P_BAND_MIN] < prm[P_BAND]) {
+            // escalate to a full-band re-place only for band/budget
+            // rejects (-1): a -2 means the stitch wavefront hit its
+            // divergence-slope abort (wrong-locus evidence), where the
+            // full-band DP re-rejected 73% of the time in round 4 while
+            // costing band*len cells per pair
+            if (p.cost == -1 &&
+                !p.item.full_band && prm[P_BAND_MIN] < prm[P_BAND]) {
                 Item esc = p.item;
                 esc.full_band = 1;
                 queue.push_back(esc);
@@ -1212,7 +1221,8 @@ struct Engine {
                     p.tgt.data(), (int64_t)p.tgt.size(),
                     p.codes.data() + p.qlo, m,
                     p.aq.data(), p.at.data(), (int64_t)p.aq.size(),
-                    p.d0_win, (int32_t)p.band, max_cost,
+                    p.d0_win, (int32_t)p.band, (int32_t)prm[P_BAND],
+                    max_cost,
                     p.ops.data(), ops_cap, &p.ops_len, &p.tstart, &p.tend);
                 s_stitch += now_s() - tt;
                 stitch_bases += m;
@@ -1403,6 +1413,14 @@ void* ns_engine_run(
     int64_t* stats_out)
 {
     Engine* e = new Engine();
+    // the sub-phase profile atomics are process-wide statics: zero them
+    // per run so NS_ENGINE_DEBUG prints per-run splits, not totals
+    // accumulated across a bench's best-of-N reps
+    for (auto& a : Engine::pl_ns) a = 0;
+    for (auto& a : Engine::ap_ns) a = 0;
+    for (auto& a : Engine::ac_ns) a = 0;
+    extern void ns_stitch_stats_reset();
+    ns_stitch_stats_reset();
     e->packed = packed;
     e->offsets = offsets;
     e->lengths = lengths;

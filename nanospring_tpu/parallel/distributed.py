@@ -163,7 +163,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils as mhu
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from ..io import read_store
@@ -250,7 +250,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     sketch_fn = jax.jit(shard_map(
         _sketch, mesh=mesh,
         in_specs=(P(READS_AXIS), P(READS_AXIS), P()),
-        out_specs=P(READS_AXIS), check_rep=False,
+        out_specs=P(READS_AXIS), check_vma=False,
     ))
     sketches_g = sketch_fn(codes_g, lens_g, seeds_g)
 

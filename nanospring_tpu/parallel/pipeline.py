@@ -35,7 +35,7 @@ from .mesh import READS_AXIS, make_mesh, reads_sharding, replicated
 def _sharded_sketches(mesh, store, cfg: CompressConfig) -> np.ndarray:
     """Sketch every read on its owning device (shard_map over reads)."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops import sketch as sk
@@ -57,7 +57,7 @@ def _sharded_sketches(mesh, store, cfg: CompressConfig) -> np.ndarray:
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(P(READS_AXIS), P(READS_AXIS), P()),
-        out_specs=P(READS_AXIS), check_rep=False,
+        out_specs=P(READS_AXIS), check_vma=False,
     ))
     rs = reads_sharding(mesh)
     rep = replicated(mesh)
@@ -71,12 +71,12 @@ def _psum_stats(mesh, per_dev: np.ndarray) -> np.ndarray:
     (the reference reduces CountStats across OpenMP threads,
     src/Consensus.cpp:154-164)."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = jax.jit(shard_map(
         lambda x: jax.lax.psum(x, READS_AXIS), mesh=mesh,
-        in_specs=P(READS_AXIS), out_specs=P(), check_rep=False,
+        in_specs=P(READS_AXIS), out_specs=P(), check_vma=False,
     ))
     out = fn(jax.device_put(per_dev.astype(np.int32),
                             reads_sharding(mesh)))
@@ -86,12 +86,12 @@ def _psum_stats(mesh, per_dev: np.ndarray) -> np.ndarray:
 def _gather_meta(mesh, per_dev: np.ndarray) -> np.ndarray:
     """all_gather of per-owner contig metadata (counts) over the mesh."""
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = jax.jit(shard_map(
         lambda x: jax.lax.all_gather(x, READS_AXIS, axis=0, tiled=True),
-        mesh=mesh, in_specs=P(READS_AXIS), out_specs=P(), check_rep=False,
+        mesh=mesh, in_specs=P(READS_AXIS), out_specs=P(), check_vma=False,
     ))
     out = fn(jax.device_put(per_dev.astype(np.int32),
                             reads_sharding(mesh)))

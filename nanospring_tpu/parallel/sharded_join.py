@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import sketch as sk
 from .mesh import READS_AXIS
@@ -102,7 +102,7 @@ def make_slot_shuffle_step(mesh: Mesh, n_slots: int, cap_per_device: int):
         mesh=mesh,
         in_specs=(P(READS_AXIS), P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P(READS_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -151,7 +151,7 @@ def make_pair_exchange_step(mesh: Mesh, cap_per_device: int):
         mesh=mesh,
         in_specs=(P(READS_AXIS), P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P(READS_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -291,6 +291,6 @@ def make_sharded_join_step(mesh: Mesh, k: int, cap_per_device: int):
         mesh=mesh,
         in_specs=(P(READS_AXIS), P(READS_AXIS), P(), P(READS_AXIS)),
         out_specs=(P(READS_AXIS), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

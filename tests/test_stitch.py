@@ -72,7 +72,7 @@ def _stitch(lib, t, q, aq, at, d0, W=64, max_cost_frac=0.5):
         q.ctypes.data_as(u8p), ctypes.c_int64(m),
         aq.ctypes.data_as(i64p), at.ctypes.data_as(i64p),
         ctypes.c_int64(len(aq)),
-        ctypes.c_int64(int(d0)), ctypes.c_int32(W),
+        ctypes.c_int64(int(d0)), ctypes.c_int32(W), ctypes.c_int32(W),
         ctypes.c_int32(max_cost),
         ops.ctypes.data_as(u8p), ctypes.c_int64(cap),
         ctypes.byref(ops_len), ctypes.byref(ts), ctypes.byref(te))
