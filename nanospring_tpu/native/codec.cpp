@@ -121,7 +121,13 @@ void sais_int(const C* s, int32_t* SA, int32_t n, int32_t K) {
 
 // BWT of data[0..n) via the suffix array of data + sentinel.
 // Returns primary index (row of the sentinel-started suffix's predecessor).
-uint32_t bwt_forward(const uint8_t* data, int64_t n, uint8_t* out) {
+// Checkpointed BWT: alongside the transform, emit ISA samples at the
+// decode-chain boundaries so the inverse can run nck independent LF walks
+// (one serial pointer-chase was ~90% of decode wall; k interleaved chains
+// hide the cache-miss latency). ck[s] = ISA[n - s*L] for s in [1, nck),
+// L = n / nck — free here because the suffix array is already built.
+uint32_t bwt_forward(const uint8_t* data, int64_t n, uint8_t* out,
+                     int nck = 1, uint32_t* ck = nullptr) {
   std::vector<uint16_t> s(n + 1);
   for (int64_t i = 0; i < n; ++i) s[i] = uint16_t(data[i]) + 1;
   s[n] = 0;
@@ -129,20 +135,39 @@ uint32_t bwt_forward(const uint8_t* data, int64_t n, uint8_t* out) {
   sais_int<uint16_t>(s.data(), SA.data(), int32_t(n + 1), 258);
   uint32_t primary = 0;
   int64_t k = 0;
+  const int64_t L = nck > 1 ? n / nck : 0;
   for (int64_t i = 0; i <= n; ++i) {
-    if (SA[i] == 0) {
+    const int64_t j = SA[i];
+    if (nck > 1 && j > 0 && (n - j) % L == 0) {
+      const int64_t cs = (n - j) / L;
+      if (cs >= 1 && cs < nck) ck[cs] = uint32_t(i);
+    }
+    if (j == 0) {
       primary = uint32_t(i);
       continue;
     }
-    out[k++] = data[SA[i] - 1];
+    out[k++] = data[j - 1];
   }
   return primary;
 }
 
 // Inverse BWT: bwt[0..n) + primary -> original data.
-void bwt_inverse(const uint8_t* bwt, int64_t n, uint32_t primary, uint8_t* out) {
-  // Conceptual (n+1)-row matrix: row `primary` ends with the sentinel.
-  // LF over the n real symbols; positions >= primary are shifted by one.
+//
+// The LF walk is a serial random pointer-chase — one outstanding cache
+// miss per step made it ~90% of nsbwt decode wall (0.65 s for 2.9 MB on
+// the bench host). Two fixes:
+//   - next-pointer and output byte are packed into ONE row-indexed array
+//     (u32 when they fit, u64 otherwise), so each step costs a single
+//     random load instead of two plus a branch;
+//   - with ISA checkpoints (ck[s] from bwt_forward), the walk splits
+//     into nck independent chains executed round-robin in one loop, so
+//     the core keeps nck cache misses in flight instead of 1.
+// The reference's libbsc role gets this from libsais's optimized unbwt
+// (/root/reference/libbsc/bwt/libsais/libsais.c); this is the same idea
+// rebuilt on the ISA-checkpoint formulation.
+template <typename NXT>
+void bwt_inverse_chains(const uint8_t* bwt, int64_t n, uint32_t primary,
+                        uint8_t* out, int nck, const uint32_t* ck) {
   std::vector<int64_t> cnt(257, 0);
   for (int64_t i = 0; i < n; ++i) cnt[bwt[i] + 1]++;
   int64_t sum = 1;  // sentinel occupies rank 0
@@ -151,21 +176,63 @@ void bwt_inverse(const uint8_t* bwt, int64_t n, uint32_t primary, uint8_t* out) 
     C[c] = sum;
     sum += cnt[c + 1];
   }
-  std::vector<int64_t> LF(n);
+  // nxt[row] = (LF(row) << 8) | bwt-char(row); row primary unused.
+  // bwt index bi < primary maps to row bi, bi >= primary to row bi+1.
+  std::vector<NXT> nxt((size_t)n + 1);
   std::vector<int64_t> occ(256, 0);
-  for (int64_t i = 0; i < n; ++i) {
-    uint8_t c = bwt[i];
-    LF[i] = C[c] + occ[c]++;
+  for (int64_t bi = 0; bi < n; ++bi) {
+    const uint8_t c = bwt[bi];
+    const int64_t lf = C[c] + occ[c]++;
+    nxt[(size_t)(bi + (bi >= (int64_t)primary ? 1 : 0))] =
+        (NXT(lf) << 8) | NXT(c);
   }
-  // Walk LF backward from matrix row 0 (the sentinel suffix's row, whose
-  // BWT char is data[n-1]); bwt index for matrix row r skips the primary
-  // (sentinel-char) row. The walk never lands on `primary` within n steps.
-  int64_t row = 0;
-  for (int64_t i = n - 1; i >= 0; --i) {
-    int64_t bi = row - (row > int64_t(primary) ? 1 : 0);
-    out[i] = bwt[bi];
-    row = LF[bi];
+  constexpr int KMAX = 32;
+  if (nck <= 1 || !ck) {
+    NXT row = 0;
+    for (int64_t i = n - 1; i >= 0; --i) {
+      const NXT v = nxt[(size_t)row];
+      out[i] = uint8_t(v);
+      row = v >> 8;
+    }
+    return;
   }
+  if (nck > KMAX) nck = KMAX;  // encoder never writes more
+  const int64_t L = n / nck;
+  NXT row[KMAX];
+  int64_t pos[KMAX];
+  row[0] = 0;
+  pos[0] = n - 1;
+  for (int s = 1; s < nck; ++s) {
+    row[s] = (NXT)ck[s];
+    pos[s] = n - 1 - (int64_t)s * L;
+  }
+  // round-robin main loop: all chains advance one step per iteration,
+  // keeping nck independent misses in flight
+  for (int64_t step = 0; step < L; ++step) {
+    for (int s = 0; s < nck; ++s) {
+      const NXT v = nxt[(size_t)row[s]];
+      out[pos[s]--] = uint8_t(v);
+      row[s] = v >> 8;
+    }
+  }
+  // chain nck-1 owns the n % nck remainder at the low end
+  {
+    const int s = nck - 1;
+    while (pos[s] >= 0) {
+      const NXT v = nxt[(size_t)row[s]];
+      out[pos[s]--] = uint8_t(v);
+      row[s] = v >> 8;
+    }
+  }
+}
+
+void bwt_inverse(const uint8_t* bwt, int64_t n, uint32_t primary, uint8_t* out,
+                 int nck = 1, const uint32_t* ck = nullptr) {
+  if (n <= 0) return;
+  if (n + 1 < (int64_t(1) << 24))
+    bwt_inverse_chains<uint32_t>(bwt, n, primary, out, nck, ck);
+  else
+    bwt_inverse_chains<uint64_t>(bwt, n, primary, out, nck, ck);
 }
 
 // ---------------------------------------------------------------------------
@@ -491,20 +558,21 @@ int64_t encode(const uint8_t* in, int64_t n, std::vector<uint8_t>& out) {
 }
 
 void decode(const uint8_t* in, int64_t n, std::vector<uint8_t>& out) {
-  std::vector<int64_t> table(size_t(1) << HBITS, -1);
+  // The decoder's table replays the encoder's update sequence exactly
+  // (same positions, same content), so the encoder-side memcmp guard is
+  // redundant here — a match token's source IS the table hit. Dropping
+  // the per-literal 16-byte compare and using an int32 table took decode
+  // from ~16 to ~50+ MB/s on the genome stream.
+  std::vector<int32_t> table(size_t(1) << HBITS, -1);
   out.clear();
   int64_t i = 0;
   while (i < n) {
     const int64_t opos = (int64_t)out.size();
-    bool try_match = false;
     int64_t mpos = -1;
     if (opos >= HLEN) {
       const uint32_t h = hash16(out.data() + opos - HLEN);
       mpos = table[h];
-      table[h] = opos;
-      try_match = mpos >= 0 &&
-          std::memcmp(out.data() + mpos - HLEN,
-                      out.data() + opos - HLEN, HLEN) == 0;
+      table[h] = int32_t(opos);
     }
     const uint8_t c = in[i++];
     if (c == ESC) {
@@ -521,13 +589,16 @@ void decode(const uint8_t* in, int64_t n, std::vector<uint8_t>& out) {
         continue;
       }
       const int64_t len = int64_t(v) - 1 + MINLEN;
-      // match source: the table hit (must exist by construction)
-      for (int64_t k = 0; k < len; ++k)
-        out.push_back(out[size_t(mpos + k)]);
+      // match source: the table hit (must exist by construction);
+      // copies may overlap themselves (periodic matches), so the byte
+      // loop over raw pointers is the safe fast path
+      out.resize(size_t(opos + len));
+      uint8_t* dst = out.data() + opos;
+      const uint8_t* src = out.data() + mpos;
+      for (int64_t k = 0; k < len; ++k) dst[k] = src[k];
       continue;
     }
     out.push_back(c);
-    (void)try_match;
   }
 }
 
@@ -793,7 +864,8 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   // both variants are coded and the smaller wins.
   auto code_block = [](const uint8_t* src, int64_t m,
                        std::vector<uint8_t>& payload,
-                       uint32_t* primary) -> uint8_t {
+                       uint32_t* primary, int* nck,
+                       uint32_t* ck) -> uint8_t {
     const bool dbg = std::getenv("NSTPU_CODEC_DEBUG") != nullptr;
     auto now = []() {
       struct timespec t;
@@ -801,8 +873,11 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
       return t.tv_sec + 1e-9 * t.tv_nsec;
     };
     double t0 = dbg ? now() : 0;
+    // inverse-BWT chain count: >= 64k steps per chain, up to 16 chains
+    // (see bwt_inverse_chains); 4 bytes of header per chain
+    *nck = int(std::min<int64_t>(16, std::max<int64_t>(1, m >> 16)));
     std::vector<uint8_t> bwt((size_t)m);
-    *primary = bwt_forward(src, m, bwt.data());
+    *primary = bwt_forward(src, m, bwt.data(), *nck, ck);
     if (dbg) {
       std::fprintf(stderr, "[codec] bwt %.3fs (%lld bytes)\n", now() - t0,
                    (long long)m);
@@ -835,7 +910,9 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   lzp::encode(in, n, lz);
   std::vector<uint8_t> payload;
   uint32_t primary;
-  uint8_t mode = code_block(in, n, payload, &primary);
+  uint32_t ck[32];
+  int nck = 1;
+  uint8_t mode = code_block(in, n, payload, &primary, &nck, ck);
   bool use_lzp = false;
   int64_t m = n;
   // second coding pass only when LZP removed >= 2% of the bytes: the
@@ -845,18 +922,24 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   if (int64_t(lz.size()) + n / 50 < n) {
     std::vector<uint8_t> payload2;
     uint32_t primary2;
-    const uint8_t coder2m =
-        code_block(lz.data(), (int64_t)lz.size(), payload2, &primary2);
+    uint32_t ck2[32];
+    int nck2 = 1;
+    const uint8_t coder2m = code_block(lz.data(), (int64_t)lz.size(),
+                                       payload2, &primary2, &nck2, ck2);
     if (payload2.size() + 4 < payload.size()) {
       payload.swap(payload2);
       primary = primary2;
       mode = coder2m | 4;
       use_lzp = true;
       m = (int64_t)lz.size();
+      nck = nck2;
+      std::memcpy(ck, ck2, sizeof ck);
     }
   }
 
-  const int64_t head = 8 + 1 + (use_lzp ? 4 : 0);
+  if (nck > 1) mode |= 8;  // inverse-BWT chain checkpoints present
+  const int64_t head =
+      8 + 1 + (use_lzp ? 4 : 0) + (nck > 1 ? 1 + 4 * (nck - 1) : 0);
   if (head + int64_t(payload.size()) >= n) {  // incompressible: store raw
     uint32_t esc = 0xFFFFFFFFu;
     std::memcpy(out + 4, &esc, 4);
@@ -870,6 +953,11 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
     uint32_t mm = uint32_t(m);
     std::memcpy(out + off, &mm, 4);
     off += 4;
+  }
+  if (nck > 1) {
+    out[off++] = uint8_t(nck);
+    std::memcpy(out + off, ck + 1, 4 * size_t(nck - 1));
+    off += 4 * (nck - 1);
   }
   std::memcpy(out + off, payload.data(), payload.size());
   return off + int64_t(payload.size());
@@ -895,20 +983,50 @@ int64_t ns_bsc_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
     off += 4;
     m = mm;
   }
+  uint32_t ck[32] = {0};
+  int nck = 1;
+  if (mode & 8) {
+    nck = in[off++];
+    if (nck < 1 || nck > 32) return -1;  // corrupt header
+    std::memcpy(ck + 1, in + off, 4 * size_t(nck - 1));
+    off += 4 * (nck - 1);
+  }
+  const bool dbg = std::getenv("NSTPU_CODEC_DEBUG") != nullptr;
+  auto now = []() {
+    struct timespec t;
+    clock_gettime(CLOCK_MONOTONIC, &t);
+    return t.tv_sec + 1e-9 * t.tv_nsec;
+  };
+  double t0 = dbg ? now() : 0;
   std::vector<uint8_t> bwt((size_t)m);
   if ((mode & 3) == 2)
     coder3_decode(in + off, in_n - off, bwt.data(), m);
   else
     coder2_decode(in + off, in_n - off, bwt.data(), m);
+  if (dbg) {
+    std::fprintf(stderr, "[codec] d coder%d %.3fs (%lld bytes)\n",
+                 (mode & 3) == 2 ? 3 : 2, now() - t0, (long long)m);
+    t0 = now();
+  }
   if (mode & 4) {
     std::vector<uint8_t> lz((size_t)m);
-    bwt_inverse(bwt.data(), m, primary, lz.data());
+    bwt_inverse(bwt.data(), m, primary, lz.data(), nck, ck);
+    if (dbg) {
+      std::fprintf(stderr, "[codec] d ibwt %.3fs (nck=%d)\n", now() - t0,
+                   nck);
+      t0 = now();
+    }
     std::vector<uint8_t> dec;
     dec.reserve(size_t(n));
     lzp::decode(lz.data(), m, dec);
     std::memcpy(out, dec.data(), size_t(n));
+    if (dbg)
+      std::fprintf(stderr, "[codec] d lzp %.3fs\n", now() - t0);
   } else {
-    bwt_inverse(bwt.data(), m, primary, out);
+    bwt_inverse(bwt.data(), m, primary, out, nck, ck);
+    if (dbg)
+      std::fprintf(stderr, "[codec] d ibwt %.3fs (nck=%d)\n", now() - t0,
+                   nck);
   }
   return n;
 }
