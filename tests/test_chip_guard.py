@@ -1,0 +1,95 @@
+"""Product-level chip-claim guard (round-4 verdict ask #2).
+
+On a degraded tunneled accelerator, plain library calls were measured to
+block indefinitely in the claim handshake or the first device->host
+transfer (reference behavior to match: the pure-CPU binary never hangs on
+missing hardware, src/main.cpp:119-158). `_tpu_attached` must bound the
+first device touch by NSTPU_CHIP_CLAIM_TIMEOUT_S and fall back to the
+CPU+native pipeline.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from nanospring_tpu.pipeline import contigs
+
+
+def _reset_guard():
+    contigs._TPU_ATTACHED = None
+
+
+def test_hung_claim_times_out_and_falls_back(monkeypatch, capsys):
+    """A first device touch that never returns must not hang the library."""
+    _reset_guard()
+    monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "0.5")
+
+    import jax
+
+    def _block_forever():
+        threading.Event().wait()  # a claim that never completes
+
+    monkeypatch.setattr(jax, "default_backend", _block_forever)
+    t0 = time.time()
+    attached = contigs._tpu_attached()
+    dt = time.time() - t0
+    assert attached is False
+    assert dt < 5.0, f"guard did not bound the hung claim ({dt:.1f}s)"
+    assert "falling back" in capsys.readouterr().err
+    _reset_guard()
+
+
+def test_cpu_backend_reports_unattached(monkeypatch):
+    _reset_guard()
+    monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "30")
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert contigs._tpu_attached() is False
+    _reset_guard()
+
+
+def test_healthy_backend_roundtrip(monkeypatch):
+    """An accelerator that answers the h2d+d2h round trip is attached.
+
+    Simulated: a fake backend name with the real (CPU) device_put, which
+    completes instantly — the guard must return True without timing out.
+    """
+    _reset_guard()
+    monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "30")
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert contigs._tpu_attached() is True
+    _reset_guard()
+
+
+def test_compress_completes_with_hung_claim(monkeypatch, tmp_path):
+    """The full library entry point finishes on CPU when the chip hangs."""
+    _reset_guard()
+    monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "0.5")
+    monkeypatch.setenv("NSTPU_SKETCH", "auto")
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend",
+                        lambda: threading.Event().wait())
+
+    from nanospring_tpu import compressor, decompressor
+    from nanospring_tpu.utils import synth
+
+    fq = str(tmp_path / "t.fastq")
+    reads = synth.make_dataset(fq, seed=3, genome_len=20_000, num_reads=60,
+                               mean_len=800, realistic=False)
+    arc = str(tmp_path / "t.nstpu")
+    t0 = time.time()
+    compressor.compress_file(fq, arc, report=False)
+    assert time.time() - t0 < 120, "compress did not route around the hang"
+    out = str(tmp_path / "t.reads")
+    decompressor.decompress_file(arc, out, report=False)
+    with open(out, "rb") as f:
+        assert f.read().splitlines() == reads
+    _reset_guard()
