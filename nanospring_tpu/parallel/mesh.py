@@ -26,6 +26,16 @@ READS_AXIS = "reads"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # refuse to silently build a smaller mesh: a 1-device "8-way"
+            # mesh makes every sharding test vacuously pass (observed
+            # after the jax 0.9 upgrade dropped
+            # --xla_force_host_platform_device_count support)
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} JAX device(s) are visible; for a virtual "
+                f"CPU mesh set jax.config.update('jax_num_cpu_devices', "
+                f"{n_devices}) before the first backend use")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (READS_AXIS,))
 

@@ -21,3 +21,11 @@ import jax  # noqa: E402
 # Mosaic path; default is the virtual CPU mesh for hermetic CI.
 if os.environ.get("NSTPU_TEST_REAL_CHIP") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # jax >= 0.9 ignores --xla_force_host_platform_device_count; the
+    # supported route is the jax_num_cpu_devices config, which must land
+    # before the first backend initialization (this file imports before
+    # any test touches a device)
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # older jax without the option: XLA_FLAGS above covers it
