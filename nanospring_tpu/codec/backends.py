@@ -134,12 +134,52 @@ def _nslz_d(b: bytes) -> bytes:
     return out[:n].tobytes()
 
 
+def _nso1_c(b: bytes) -> bytes:
+    """Order-1 adaptive range coder, no transform (native/codec.cpp
+    ns_o1_*): owner of the exc stream, whose position varints a BWT
+    scrambles (docs/CODECS.md)."""
+    import ctypes
+
+    import numpy as np
+
+    from .. import native
+
+    lib = native.get_lib()
+    src_ = np.frombuffer(b, dtype=np.uint8)
+    out = np.empty(len(b) + 1024, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.ns_o1_compress(
+        src_.ctypes.data_as(u8p), ctypes.c_int64(len(b)),
+        out.ctypes.data_as(u8p))
+    return out[:n].tobytes()
+
+
+def _nso1_d(b: bytes) -> bytes:
+    import ctypes
+    import struct as _st
+
+    import numpy as np
+
+    from .. import native
+
+    lib = native.get_lib()
+    (raw_n,) = _st.unpack_from("<I", b, 0)
+    src_ = np.frombuffer(b, dtype=np.uint8)
+    out = np.empty(max(raw_n, 1), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.ns_o1_decompress(
+        src_.ctypes.data_as(u8p), ctypes.c_int64(len(b)),
+        out.ctypes.data_as(u8p))
+    return out[:n].tobytes()
+
+
 _BACKENDS: dict[str, tuple] = {
     "nslz": (_nslz_c, _nslz_d),
     "bz2": (_bz2_c, _bz2_d),
     "lzma": (_lzma_c, _lzma_d),
     "zlib": (_zlib_c, _zlib_d),
     "nsbwt": (_nsbwt_c, _nsbwt_d),
+    "nso1": (_nso1_c, _nso1_d),
     "raw": (lambda b: b, lambda b: b),
 }
 

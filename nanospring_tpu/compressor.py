@@ -101,6 +101,7 @@ def _compress_loaded(store, out_path, cfg, timer, stats, report) -> dict:
         codec_map = {n: cfg.default_codec for n in st.STREAM_NAMES}
         codec_map["base"] = cfg.base_codec
         codec_map["pos"] = cfg.pos_codec
+        codec_map["exc"] = getattr(cfg, "exc_codec", "nsbwt")
         with cf.ThreadPoolExecutor(cfg.resolved_threads()) as pool:
             sizes = archive.write_archive(out_path, out, meta, codec_map, pool=pool)
 

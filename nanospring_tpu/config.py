@@ -108,6 +108,11 @@ class CompressConfig:
     pos_codec: str = "nsbwt"           # .pos stream codec (LZP+BWT order-1
                                        # beats lzma-6 and nslz; docs/CODECS.md)
     default_codec: str = "nsbwt"       # remaining streams (incl .lone)
+    exc_codec: str = "nso1"            # .exc stream codec (order-1 range
+                                       # coder, no transform: the position
+                                       # varints are near-uniform, which a
+                                       # BWT scrambles; beats lzma-6 —
+                                       # docs/CODECS.md)
 
     def resolved_threads(self) -> int:
         return self.num_threads or (os.cpu_count() or 1)

@@ -98,9 +98,15 @@ def write_archive(
 
 
 def _read_native(path: str) -> tuple[dict, dict[str, bytes]]:
+    import os
+
+    total = os.path.getsize(path)
     with open(path, "rb") as f:
         assert f.read(len(_MAGIC)) == _MAGIC
         (mlen,) = struct.unpack("<Q", f.read(8))
+        if mlen > total:
+            raise ValueError("archive meta length exceeds the file size — "
+                             "the archive is corrupt")
         meta = json.loads(f.read(mlen))
         coded: dict[str, bytes] = {}
         while True:
@@ -109,6 +115,12 @@ def _read_native(path: str) -> tuple[dict, dict[str, bytes]]:
                 break
             name = f.read(nl[0]).decode()
             (dlen,) = struct.unpack("<Q", f.read(8))
+            if dlen > total - f.tell():
+                # a flipped bit in a length prefix must surface as a
+                # named corruption error, not an allocation attempt
+                raise ValueError(
+                    f"archive stream '{name}' claims {dlen} bytes but only "
+                    f"{total - f.tell()} remain — the archive is corrupt")
             coded[name] = f.read(dlen)
     return meta, coded
 

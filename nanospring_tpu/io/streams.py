@@ -168,38 +168,71 @@ def decode_id_stream(buf: np.ndarray) -> np.ndarray:
 def encode_exc_stream(
     exc_read: np.ndarray, exc_pos: np.ndarray, exc_byte: np.ndarray
 ) -> np.ndarray:
+    """v2 layout: [varint 0][varint 2][varint n][id deltas][pos deltas][bytes].
+
+    The leading varint 0 (impossible as a v1 count unless the stream ends
+    there) marks the versioned layout. Positions are delta-coded within a
+    read (ingestion order is ascending): for ~2.5 exceptions/read the
+    within-read gaps carry ~1 bit/exception less than absolute positions,
+    which is what pushed the nso1-coded exc stream past lzma-6
+    (docs/CODECS.md, round-4 verdict ask #7).
+    """
     n = len(exc_read)
-    head = encode_varints(np.array([n], dtype=np.uint64))
     if n == 0:
-        return head
+        return encode_varints(np.array([0], dtype=np.uint64))
+    head = encode_varints(np.array([0, 2, n], dtype=np.uint64))
+    er = np.asarray(exc_read, dtype=np.int64)
     deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = exc_read[0]
-    deltas[1:] = np.diff(np.asarray(exc_read, dtype=np.int64)).astype(np.uint64)
+    deltas[0] = er[0]
+    deltas[1:] = np.diff(er).astype(np.uint64)
     ids = encode_varints(deltas)
-    poss = encode_varints(np.asarray(exc_pos, dtype=np.uint64))
+    ep = np.asarray(exc_pos, dtype=np.int64)
+    same = np.zeros(n, dtype=bool)
+    same[1:] = er[1:] == er[:-1]
+    pd = ep.copy()
+    pd[same] = ep[same] - np.concatenate([[0], ep[:-1]])[same]
+    poss = encode_varints(pd.astype(np.uint64))
     return np.concatenate([head, ids, poss, np.asarray(exc_byte, dtype=np.uint8)])
 
 
 def decode_exc_stream(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     buf = np.asarray(buf, dtype=np.uint8)
-    # varints: first value is count n, then n id-deltas, then n positions;
-    # the final n raw bytes are NOT varints, so decode the varint region only.
-    # Find the boundary: we need 2n+1 varints; walk terminators.
+    # varints: count head, then n id-deltas, then n positions; the final
+    # n raw bytes are NOT varints, so decode the varint region only.
     is_end = buf < 128
     ends = np.flatnonzero(is_end)
-    n = int(decode_varints(buf[: ends[0] + 1])[0])
+    first = int(decode_varints(buf[: ends[0] + 1])[0])
+    version = 1
+    skip = 1  # varints before the id-delta section
+    if first == 0:
+        if len(ends) == 1:  # v1 empty stream
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.uint8))
+        version = int(decode_varints(buf[ends[0] + 1: ends[1] + 1])[0])
+        n = int(decode_varints(buf[ends[1] + 1: ends[2] + 1])[0])
+        skip = 3
+    else:
+        n = first
     if n == 0:
         return (
             np.zeros(0, dtype=np.int64),
             np.zeros(0, dtype=np.int64),
             np.zeros(0, dtype=np.uint8),
         )
-    last_varint_end = ends[2 * n]  # 0-indexed: varint #(2n+1) ends here
+    last_varint_end = ends[skip - 1 + 2 * n]
     vals = decode_varints(buf[: last_varint_end + 1])
-    deltas = vals[1 : n + 1].astype(np.int64)
+    deltas = vals[skip: skip + n].astype(np.int64)
     exc_read = np.cumsum(deltas)
-    exc_pos = vals[n + 1 : 2 * n + 1].astype(np.int64)
-    exc_byte = buf[last_varint_end + 1 : last_varint_end + 1 + n]
+    exc_pos = vals[skip + n: skip + 2 * n].astype(np.int64)
+    exc_byte = buf[last_varint_end + 1: last_varint_end + 1 + n]
+    if version >= 2:
+        # undo within-read position deltas: segmented cumsum per read
+        same = np.zeros(n, dtype=bool)
+        same[1:] = exc_read[1:] == exc_read[:-1]
+        c = np.cumsum(exc_pos)
+        starts = np.flatnonzero(~same)
+        offs = c[starts] - exc_pos[starts]
+        exc_pos = c - np.repeat(offs, np.diff(np.append(starts, n)))
     return exc_read, exc_pos, exc_byte
 
 

@@ -78,6 +78,10 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_lz_compress.argtypes = [u8p, i64, u8p]
             lib.ns_lz_decompress.restype = i64
             lib.ns_lz_decompress.argtypes = [u8p, i64, u8p]
+            lib.ns_o1_compress.restype = i64
+            lib.ns_o1_compress.argtypes = [u8p, i64, u8p]
+            lib.ns_o1_decompress.restype = i64
+            lib.ns_o1_decompress.argtypes = [u8p, i64, u8p]
             lib.ns_fastq_scan.restype = i32
             lib.ns_fastq_scan.argtypes = [u8p, i64, i64p, i64p, i64p]
             lib.ns_fastq_pack.restype = None

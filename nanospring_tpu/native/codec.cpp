@@ -1372,3 +1372,96 @@ int64_t ns_lz_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// nso1: order-1 adaptive binary-tree range coder, no transform.
+//
+// Owner of the `exc` stream (non-ACGT exception triples). The stream is
+// three concatenated sections — read-id delta varints, position varints,
+// raw exception bytes — whose positions are near-uniform within a read:
+// entropy ~ log2(read_len) bits per exception. A BWT scrambles the
+// 2-byte varint structure (nsbwt coded the pos section at ~13.9
+// bits/exc), while a plain order-1 model captures the full joint
+// H(b0) + H(b1 | b0) of the varint bytes and adapts per section.
+// Reference role: the exc stream is strictly additional losslessness over
+// the reference (it maps non-ACGT via the 2-bit trick and loses them,
+// src/dnaToBits.cpp:6-9); closing docs/CODECS.md's one remaining
+// lzma-parity asterisk (round-4 verdict ask #7).
+// ---------------------------------------------------------------------------
+
+namespace o1 {
+
+struct Model {
+  // [context = top 3 bits of previous byte][tree node]. The coarse
+  // context is deliberate (the same choice as LZMA's lc=3): the exc
+  // corpus is ~100 KB per chunk, so a full 256-way context leaves ~1
+  // sample per tree node and the model never adapts — 8 contexts beat
+  // 256 by ~1.3% measured (docs/CODECS.md).
+  uint16_t t[8][256];
+  Model() {
+    for (auto& c : t)
+      for (auto& p : c) p = 2048;
+  }
+};
+
+}  // namespace o1
+
+extern "C" {
+
+int64_t ns_o1_compress(const uint8_t* in, int64_t n, uint8_t* out) {
+  uint32_t nn = uint32_t(n);
+  std::memcpy(out, &nn, 4);
+  if (n == 0) return 4;
+  std::vector<uint8_t> payload;
+  payload.reserve(size_t(n / 2 + 64));
+  {
+    RangeEncoder rc(payload);
+    o1::Model* m = new o1::Model();
+    uint8_t prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint8_t b = in[i];
+      uint32_t idx = 1;
+      for (int k = 7; k >= 0; --k) {
+        const int bit = (b >> k) & 1;
+        rc.encode4(m->t[prev >> 5][idx], bit);
+        idx = idx * 2 + uint32_t(bit);
+      }
+      prev = b;
+    }
+    delete m;
+    rc.flush();
+  }
+  if (4 + 1 + int64_t(payload.size()) >= n + 5) {  // incompressible: raw
+    out[4] = 0;
+    std::memcpy(out + 5, in, size_t(n));
+    return 5 + n;
+  }
+  out[4] = 1;
+  std::memcpy(out + 5, payload.data(), payload.size());
+  return 5 + int64_t(payload.size());
+}
+
+int64_t ns_o1_decompress(const uint8_t* in, int64_t in_n, uint8_t* out) {
+  uint32_t nn;
+  std::memcpy(&nn, in, 4);
+  const int64_t n = nn;
+  if (n == 0) return 0;
+  if (in[4] == 0) {
+    std::memcpy(out, in + 5, size_t(n));
+    return n;
+  }
+  RangeDecoder rc(in + 5, in_n - 5);
+  o1::Model* m = new o1::Model();
+  uint8_t prev = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t idx = 1;
+    for (int k = 0; k < 8; ++k) idx = idx * 2 + uint32_t(rc.decode4(m->t[prev >> 5][idx]));
+    const uint8_t b = uint8_t(idx & 0xFF);
+    out[i] = b;
+    prev = b;
+  }
+  delete m;
+  return n;
+}
+
+}  // extern "C"
