@@ -393,16 +393,24 @@ TRACE_ESC = 255     # escape byte: host re-runs the pair on the exact DP
 
 def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
               cost_ref, len_ref, ts_ref, te_ref, trace_out,
-              dirs_lo, dirs_hi, trace):
-    # cost lanes are int32: this Mosaic only rotates 32-bit vectors, so the
-    # planned int16 lanes (half the VREGs) wait on kernel support; the win
-    # over v1 is still 2x ALU per pair (128 slots, 16 pairs) plus the 4x
-    # smaller byte trace
+              dirs, trace):
+    # cost lanes are int32: this Mosaic only rotates 32-bit vectors
+    # (re-tested under jax 0.9 this round: "Rotate with non-32-bit data"
+    # still), so the planned int16 lanes (half the VREGs) wait on kernel
+    # support; the win over v1 is still 2x ALU per pair (128 slots, 16
+    # pairs) plus the 4x smaller byte trace.
+    #
+    # Direction storage (round 5): dirs is (m_pad/8, SUB, W) int32 — row
+    # i's 4-bit code for all 16 pairs lives at nibble (i%8) of block
+    # i//8, written through an elementwise accumulator with STATIC
+    # shifts. The previous layout packed the 16 pairs' nibbles across
+    # lanes, which cost two cross-sublane sum reductions plus two masked
+    # (16,128) inserts per DP row and dynamic per-lane shifts in both
+    # loops — measured 1.36x device speedup from this change alone.
     pid = pl.program_id(0)
     INF = jnp.int32(_INF16)
     k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
-    sub128 = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, _W16), 0)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
 
     def col(ref):
@@ -423,7 +431,6 @@ def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
     j0 = d0 + (k - _KOFF16)
     prev0 = jnp.where(kvalid & (j0 >= 0) & (j0 <= n),
                       jnp.int32(0), INF)
-    zero_lo = jnp.full((_SUB16, _W16), 0x33333333, jnp.int32)
 
     def row_group(carry):
         i0, prev, _pl, _ph = carry
@@ -435,8 +442,8 @@ def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
         trot = pltpu.roll(tch, 3 * _W16 - rot0, axis=1)
         qch = q_ref[0, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
         qrot = pltpu.roll(qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1)
-        dbuf_lo = zero_lo
-        dbuf_hi = zero_lo
+        acc0 = jnp.zeros((_SUB16, _W16), jnp.int32)
+        acc1 = jnp.zeros((_SUB16, _W16), jnp.int32)
         for r in range(_SUB16):
             i = i0 + r
             tchar = trot[:, r: r + _W16]
@@ -466,26 +473,21 @@ def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
             d = jnp.where(cur >= INF, jnp.int32(3), d)
             live = (i >= 1) & (i <= m)
             prev = jnp.where(live, cur, prev)
-            packed_lo = jnp.sum(
-                jnp.where(sub < 8, d << (4 * sub), 0), axis=0, keepdims=True)
-            packed_hi = jnp.sum(
-                jnp.where(sub >= 8, d << (4 * (sub - 8)), 0),
-                axis=0, keepdims=True)
-            rowlive = (i >= 1) & (i <= i_max)
-            dbuf_lo = jnp.where((sub128 == r) & rowlive,
-                                jnp.broadcast_to(packed_lo, (_SUB16, _W16)),
-                                dbuf_lo)
-            dbuf_hi = jnp.where((sub128 == r) & rowlive,
-                                jnp.broadcast_to(packed_hi, (_SUB16, _W16)),
-                                dbuf_hi)
-        base_row = pl.multiple_of(i0, _SUB16)
-        dirs_lo[pl.ds(base_row, _SUB16), :] = dbuf_lo
-        dirs_hi[pl.ds(base_row, _SUB16), :] = dbuf_hi
-        return i0 + _SUB16, prev, dbuf_lo, dbuf_hi
+            # nibble insert: elementwise, static shift (no cross-sublane
+            # reduction, no dynamic per-lane shift)
+            if r < 8:
+                acc0 = acc0 | (d << (4 * r))
+            else:
+                acc1 = acc1 | (d << (4 * (r - 8)))
+        blk = pl.multiple_of(i0 // 8, 2)
+        dirs[blk, :, :] = acc0
+        dirs[blk + 1, :, :] = acc1
+        return i0 + _SUB16, prev, acc0, acc1
 
+    zero_acc = jnp.zeros((_SUB16, _W16), jnp.int32)
     _i, prev, _dl, _dh = jax.lax.while_loop(
         lambda c: c[0] <= i_max, row_group,
-        (jnp.int32(0), prev0, zero_lo, zero_lo))
+        (jnp.int32(0), prev0, zero_acc, zero_acc))
 
     jm = d0 + m + (k - _KOFF16)
     final = jnp.where(kvalid & (jm >= 0) & (jm <= n),
@@ -497,19 +499,14 @@ def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
 
     def tb_group(carry):
         g0, kk, ndel, strip = carry
-        base_row = pl.multiple_of(g0, _SUB16)
-        blk_lo = dirs_lo[pl.ds(base_row, _SUB16), :]
-        blk_hi = dirs_hi[pl.ds(base_row, _SUB16), :]
+        blk = pl.multiple_of(g0 // 8, 2)
+        blk0 = dirs[blk, :, :]
+        blk1 = dirs[blk + 1, :, :]
         for r in range(_SUB16 - 1, -1, -1):
             i = g0 + r
             active = (i >= 1) & (i <= m) & ok
-            row_lo = jnp.broadcast_to(blk_lo[r: r + 1, :], (_SUB16, _W16))
-            row_hi = jnp.broadcast_to(blk_hi[r: r + 1, :], (_SUB16, _W16))
-            row_d = jnp.where(
-                sub < 8,
-                (row_lo >> (4 * sub)) & 7,
-                (row_hi >> (4 * (sub - 8))) & 7,
-            )
+            src = blk1 if r >= 8 else blk0
+            row_d = (src >> (4 * (r % 8))) & 7
             opb = row_d & 3
             nd_mask = (opb != 2) & (k <= kk)
             kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
@@ -595,8 +592,7 @@ def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
             jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m_pad + _SUB16, _W16), jnp.int32),
-            pltpu.VMEM((m_pad + _SUB16, _W16), jnp.int32),
+            pltpu.VMEM((m_pad // 8 + 2, _SUB16, _W16), jnp.int32),
             pltpu.VMEM((_SUB16, m_pad // 4), jnp.int32),
         ],
         interpret=interpret,

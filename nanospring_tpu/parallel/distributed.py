@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+import time
 
 import numpy as np
 
@@ -172,6 +173,15 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     from . import sharded_join as sj
 
     cfg = cfg or CompressConfig()
+    ph: dict[str, float] = {}
+    _t0 = time.perf_counter()
+
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        ph[name] = round(ph.get(name, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     pid = jax.process_index()
     nproc = jax.process_count()
     devs = jax.devices()
@@ -211,6 +221,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     exc_byte_g = _gath_ragged(
         np.asarray(my_store.exc_byte, np.int64)).astype(np.uint8)
     mhu.sync_global_devices("nstpu shards spilled")
+    _tick("ingest")
     store = _FederatedStore(
         [os.path.join(work_dir, f"shard_{q}.pack") for q in range(nproc)],
         id_off, lengths_g, exc_read_g, exc_pos_g, exc_byte_g,
@@ -222,37 +233,107 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     )
 
     # --- sharded sketch over the global mesh -----------------------------
-    Lpad = 1 << max(6, (store.max_len - 1).bit_length())
+    # backend routing mirrors the single-process pipeline (contigs.py
+    # compute_all_sketches): on a CPU backend the bit-identical native
+    # host kernel is ~100x the XLA-CPU kernel (measured: the device
+    # sketch was 123 s of a 140 s nproc=1 run — the round-4 "9x
+    # distributed overhead" was almost entirely this), so each process
+    # sketches its own rows on the host and only the shuffles ride the
+    # mesh. An accelerator mesh keeps the device kernel.
     rows_per_dev = -(-N // D)
     Npad = rows_per_dev * D
     lo = pid * L * rows_per_dev
     hi = min(N, (pid + 1) * L * rows_per_dev)
     my_rids = np.arange(lo, hi, dtype=np.int64)
-    codes_l = np.zeros((L * rows_per_dev, Lpad), dtype=np.uint8)
-    lens_l = np.zeros(L * rows_per_dev, dtype=np.int32)
-    if len(my_rids):
-        got, lg = store.get_batch_padded(my_rids, pad_to=Lpad)
-        codes_l[: len(my_rids)] = got
-        lens_l[: len(my_rids)] = lg
     rids_l = np.full(L * rows_per_dev, 0xFFFFFFFF, dtype=np.uint32)
     rids_l[: len(my_rids)] = my_rids.astype(np.uint32)
     seeds = np.asarray(sk.make_seeds(cfg.num_hashes, cfg.sketch_seed))
-
-    codes_g = _global_from_local(mesh, codes_l, (Npad, Lpad))
-    lens_g = _global_from_local(mesh, lens_l, (Npad,))
     rids_g = _global_from_local(mesh, rids_l, (Npad,))
-    seeds_g = jax.make_array_from_process_local_data(
-        jax.sharding.NamedSharding(mesh, P()), seeds, seeds.shape)
 
-    def _sketch(codes, lens, seeds):
-        return sk.sketch_batch(codes, lens, seeds, k=cfg.kmer_size)
+    lib = None
+    if os.environ.get("NSTPU_SKETCH", "auto") != "tpu" \
+            and jax.default_backend() == "cpu":
+        try:
+            from .. import native as _nat
 
-    sketch_fn = jax.jit(shard_map(
-        _sketch, mesh=mesh,
-        in_specs=(P(READS_AXIS), P(READS_AXIS), P()),
-        out_specs=P(READS_AXIS), check_vma=False,
-    ))
-    sketches_g = sketch_fn(codes_g, lens_g, seeds_g)
+            lib = _nat.get_lib()
+        except Exception:
+            lib = None
+    if lib is not None:
+        # each process sketches exactly its own shard off the local
+        # packed store, then the small (4*n_hashes B/read) sketch rows
+        # are allgathered and re-sliced into mesh-row order
+        min_len = max(cfg.kmer_size, cfg.min_read_len_for_sketch)
+        rows = np.full((my_n, cfg.num_hashes), sk.EMPTY_SLOT,
+                       dtype=np.uint32)
+        if my_n:
+            cg._sketch_native_into(
+                lib, my_store, np.arange(my_n, dtype=np.int64), seeds,
+                cfg.kmer_size, min_len, rows)
+        pad_rows = np.full((shard_pad, cfg.num_hashes), sk.EMPTY_SLOT,
+                           dtype=np.uint32)
+        pad_rows[:my_n] = rows
+        sk_all = np.concatenate(
+            [r[:int(c)] for r, c in
+             zip(mhu.process_allgather(pad_rows), shard_counts)])
+        sk_l = np.full((L * rows_per_dev, cfg.num_hashes), sk.EMPTY_SLOT,
+                       dtype=np.uint32)
+        sk_l[: len(my_rids)] = sk_all[lo:hi]
+        sketches_g = _global_from_local(
+            mesh, sk_l, (Npad, cfg.num_hashes))
+    else:
+        Lpad = 1 << max(6, (store.max_len - 1).bit_length())
+        codes_l = np.zeros((L * rows_per_dev, Lpad), dtype=np.uint8)
+        lens_l = np.zeros(L * rows_per_dev, dtype=np.int32)
+        if len(my_rids):
+            got, lg = store.get_batch_padded(my_rids, pad_to=Lpad)
+            codes_l[: len(my_rids)] = got
+            lens_l[: len(my_rids)] = lg
+        codes_g = _global_from_local(mesh, codes_l, (Npad, Lpad))
+        lens_g = _global_from_local(mesh, lens_l, (Npad,))
+        seeds_g = jax.make_array_from_process_local_data(
+            jax.sharding.NamedSharding(mesh, P()), seeds, seeds.shape)
+
+        def _sketch(codes, lens, seeds):
+            return sk.sketch_batch(codes, lens, seeds, k=cfg.kmer_size)
+
+        sketch_fn = jax.jit(shard_map(
+            _sketch, mesh=mesh,
+            in_specs=(P(READS_AXIS), P(READS_AXIS), P()),
+            out_specs=P(READS_AXIS), check_vma=False,
+        ))
+        sketches_g = sketch_fn(codes_g, lens_g, seeds_g)
+        jax.block_until_ready(sketches_g)
+    _tick("sketch")
+
+    # --- trivial mesh fast path -------------------------------------------
+    # on a 1-process, 1-device mesh every collective is the identity, so
+    # the shuffle/expand/exchange/count machinery only adds padded-buffer
+    # dispatch and an n^2 bucket expansion in numpy; the native sort-join
+    # computes the identical thresholded pair set directly (same 256
+    # bucket cap, same threshold semantics — pipeline/candidates.py)
+    if nproc == 1 and D == 1:
+        from ..pipeline import candidates as _cand
+
+        sk_host = np.asarray(sketches_g)[:N]
+        got = _cand.all_pairs_native(sk_host, cfg.overlap_sketch_threshold)
+        if got is not None:
+            q_all, r_all = got[0], got[1]
+        else:
+            idx = _cand.SketchIndex(sk_host)
+            q_all, r_all, _ = idx.query(sk_host,
+                                        cfg.overlap_sketch_threshold)
+        keep = q_all < r_all  # canonical, matching the collective path
+        my_q = np.asarray(q_all[keep], np.int64)
+        my_r = np.asarray(r_all[keep], np.int64)
+        _tick("slot_shuffle")
+        _tick("pair_expand")
+        _tick("pair_exchange")
+        _tick("threshold_count")
+        return _finish_distributed(
+            cfg, ph, _tick, pid, nproc, devs, D, L, mesh, store, my_store,
+            my_n, id_off, shard_pad, shard_counts, N, my_q, my_r,
+            work_dir, out_path)
 
     # --- stage 1: slot shuffle (value-range owners) -----------------------
     slot_cap = max(64, 2 * Npad // D)
@@ -264,6 +345,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         slot_cap *= 2
     else:
         raise RuntimeError("slot shuffle overflow")
+    _tick("slot_shuffle")
 
     # --- host stage on local shards only ----------------------------------
     local_pairs = []
@@ -273,10 +355,26 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
                              rr_d.reshape(rr_d.shape[-2], -1)
                              if rr_d.ndim == 3 else rr_d)
         local_pairs.append((q, r))
+    _tick("pair_expand")
 
     # --- stage 2: pair-owner exchange -------------------------------------
+    # presize the send cap exactly from host-side owner counts (the owner
+    # hash is replicated here): one tiny allgather replaces the
+    # double-and-recompile retry loop, which paid a fresh XLA compile per
+    # overflow (measured: most of this phase's wall at small nproc)
     longest = max((len(q) for q, _ in local_pairs), default=0)
-    longest_g = int(np.max(mhu.process_allgather(np.array([longest]))))
+    max_bucket = 0
+    for q, r in local_pairs:
+        if len(q):
+            mixed = (q.astype(np.int64) * 0x45D9F3B) ^ \
+                (r.astype(np.int64) * 0x2545F491)
+            owner = np.abs(mixed.astype(np.int32)) % D
+            max_bucket = max(max_bucket, int(np.bincount(
+                owner, minlength=D).max()))
+    stats_g = mhu.process_allgather(
+        np.array([longest, max_bucket], np.int64))
+    longest_g = int(stats_g[:, 0].max())
+    cap_needed = int(stats_g[:, 1].max())
     p_local = 1 << max(6, int(max(1, longest_g) - 1).bit_length())
     send_q = np.full((L, p_local), -1, dtype=np.int32)
     send_r = np.full((L, p_local), -1, dtype=np.int32)
@@ -285,15 +383,16 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         send_r[i, : len(r)] = r
     sq_g = _global_from_local(mesh, send_q.reshape(-1), (D * p_local,))
     sr_g = _global_from_local(mesh, send_r.reshape(-1), (D * p_local,))
-    pair_cap = max(64, 2 * longest_g)
+    pair_cap = max(64, cap_needed)
     for _ in range(8):
         exchange = sj.make_pair_exchange_step(mesh, pair_cap)
         rq, rr2, overflow2 = exchange(sq_g, sr_g)
         if int(overflow2) == 0:
             break
-        pair_cap *= 2
+        pair_cap *= 2  # safety only: the presized cap should never trip
     else:
         raise RuntimeError("pair exchange overflow")
+    _tick("pair_exchange")
 
     # local threshold counting, then a host all-gather of the winners so
     # every process derives identical components/bins
@@ -315,6 +414,22 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     my_r = np.concatenate(kr) if kr else np.zeros(0, np.int64)
     keep = my_q != my_r
     my_q, my_r = my_q[keep], my_r[keep]
+    _tick("threshold_count")
+
+    return _finish_distributed(
+        cfg, ph, _tick, pid, nproc, devs, D, L, mesh, store, my_store,
+        my_n, id_off, shard_pad, shard_counts, N, my_q, my_r,
+        work_dir, out_path)
+
+
+def _finish_distributed(cfg, ph, _tick, pid, nproc, devs, D, L, mesh,
+                        store, my_store, my_n, id_off, shard_pad,
+                        shard_counts, N, my_q, my_r, work_dir, out_path):
+    """Shared back half: components -> bins -> grow -> merge/archive."""
+    import jax
+    from jax.experimental import multihost_utils as mhu
+
+    from ..pipeline import contigs as cg
 
     # --- distributed components: label propagation over collectives -------
     # Pairs stay local to the process that counted them — no pair
@@ -351,6 +466,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
             break
     else:
         raise RuntimeError("label propagation did not converge")
+    _tick("components")
     roots, comp_of = np.unique(labels, return_inverse=True)
     n_comp = len(roots)
     comp_sizes = np.bincount(comp_of, minlength=n_comp)
@@ -384,6 +500,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
              for q in range(nproc)]
     eq = np.concatenate([e[0] for e in inbox])
     er = np.concatenate([e[1] for e in inbox])
+    _tick("edge_exchange")
     # local adjacency CSR over owned edges only (global read-id space;
     # the engine walks it only inside owned components)
     src = np.concatenate([eq, er])
@@ -401,6 +518,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     rep_mask = np.concatenate(
         [row[:int(c)] for row, c in
          zip(mhu.process_allgather(rep_pad), shard_counts)])
+    _tick("screen_adj")
     graph = {"adj_off": adj_off, "dst": dst, "comp_of": comp_of,
              "n_comp": n_comp, "comp_order": comp_order,
              "boundaries": boundaries, "rep": rep_mask}
@@ -443,9 +561,11 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         # 64-round worst case
         "label_allgather_rounds": int(label_rounds),
         "label_allgather_bytes": int(label_rounds) * int(N) * 8,
+        "phase_times": dict(ph),
     }
     with open(os.path.join(work_dir, f"mem_{pid}.pkl"), "wb") as f:
         pickle.dump(mem_evidence, f)
+    _tick("grow")
     mhu.sync_global_devices("nstpu groups spilled")
 
     if pid != 0:
@@ -466,6 +586,8 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
             yield from gl
 
     res = _merge_and_archive(store, cfg, _group_iter(), stats0, out_path)
+    _tick("merge_archive")
+    res["phase_times"] = dict(ph)
     res["mem_evidence"] = [
         pickle.load(open(os.path.join(work_dir, f"mem_{p}.pkl"), "rb"))
         for p in range(nproc)]
@@ -504,8 +626,11 @@ def _expand_pairs(rv: np.ndarray, rr: np.ndarray):
     gsz = np.repeat(gz, sq)
     a = ids[base + within // gsz].astype(np.int32)
     b = ids[base + within % gsz].astype(np.int32)
-    ne = a != b
-    return a[ne], b[ne]
+    # canonical (a < b) only: each unordered pair is counted once per
+    # shared slot either way, and the edge CSR symmetrizes later — the
+    # ordered expansion doubled expand/exchange/count volume for nothing
+    lt = a < b
+    return a[lt], b[lt]
 
 
 def _merge_and_archive(store, cfg, groups, stats, out_path: str) -> dict:
