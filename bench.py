@@ -35,65 +35,93 @@ NUM_READS = int(os.environ.get("NSTPU_BENCH_READS", 12_000))
 MEAN_LEN = int(os.environ.get("NSTPU_BENCH_MEANLEN", 5_000))
 
 
-CLAIM_DEADLINE_S = 300.0   # inner process must finish the device warmup
-                           # (chip claim + one jitted op) within this
+CLAIM_DEADLINE_S = 120.0   # inner must claim the backend within this
+WARMUP_DEADLINE_S = 600.0  # ... and finish the first h2d+d2h round trip
+                           # within this much MORE (this host's sick-tunnel
+                           # mode: claim in ~0.1 s, then a one-time
+                           # 60-390 s stall on the FIRST device->host
+                           # transfer — measured 135 s, 275 s and 390 s
+                           # this round)
+CLAIM_RETRIES = 1          # one cool-down retry before the CPU fallback
+RETRY_COOLDOWN_S = 30.0
 
 
 def main() -> int:
     """Watchdog wrapper: the measured bench runs in an INNER process.
 
-    On shared dev hosts the tunneled chip's claim handshake can block
-    indefinitely (measured this round: >8 min with zero progress, twice) —
-    and a blocked XLA call cannot be interrupted in-process. The inner
-    process must print a claim marker within CLAIM_DEADLINE_S; otherwise
-    it is killed and re-run pinned to CPU + the bit-identical native
-    sketch path, so a sick tunnel degrades the numbers, not the run.
-    A single claimer also avoids back-to-back claim cycling, which this
-    host's tunnel punishes (a probe subprocess's released claim blocked
-    the parent's re-claim for minutes)."""
+    On shared dev hosts the tunneled chip can block indefinitely in the
+    claim handshake or the first device->host transfer — and a blocked
+    XLA call cannot be interrupted in-process. The inner process writes a
+    two-phase marker ("claim", then "warm" after the first round trip);
+    each phase has its own deadline. A missed phase kills the inner run;
+    after CLAIM_RETRIES cool-down retries (a sick tunnel can recover
+    minute to minute) the bench re-runs pinned to CPU + the bit-identical
+    native sketch path, so a dead tunnel degrades the numbers, not the
+    run. The retry trail is recorded in the JSON either way
+    (round-4 verdict ask #3)."""
     import subprocess
     here = os.path.abspath(__file__)
 
-    def _inner(env, deadline: float | None):
-        """Returns (rc, claimed). rc None = killed for a missing claim
-        marker (tunnel hang). A genuine inner failure AFTER the chip
-        claim succeeded is forwarded, never masked by the CPU fallback —
-        a chip-path correctness bug must fail the bench, not silently
-        rerun on the CPU."""
+    def _phase() -> str:
+        try:
+            with open(_claim_marker()) as f:
+                return f.read().strip().split("\n")[-1]
+        except OSError:
+            return ""
+
+    def _inner(env, watch: bool):
+        """Returns (rc, phase). rc None = killed for a missed phase
+        deadline (tunnel hang). A genuine inner failure AFTER the warmup
+        is forwarded, never masked by the CPU fallback — a chip-path
+        correctness bug must fail the bench, not silently rerun on CPU."""
         p = subprocess.Popen([sys.executable, here, "--inner"],
                              env=env, stdout=subprocess.PIPE,
                              stderr=sys.stderr.fileno())
-        if deadline is not None:
+        if watch:
             t0 = time.time()
+            deadline = CLAIM_DEADLINE_S
             while p.poll() is None and time.time() - t0 < deadline:
+                if _phase() == "claim":
+                    deadline = CLAIM_DEADLINE_S + WARMUP_DEADLINE_S
+                elif _phase() == "warm":
+                    deadline = float("inf")
                 time.sleep(2.0)
-            if p.poll() is None and not os.path.exists(_claim_marker()):
+            if p.poll() is None and _phase() != "warm":
                 p.kill()
                 p.wait()
-                return None, False
+                return None, _phase()
         out, _ = p.communicate()
-        claimed = os.path.exists(_claim_marker())
         sys.stdout.write(out.decode())
         if p.returncode != 0:
             sys.stderr.write(
                 f"[bench] inner run failed rc={p.returncode} "
-                f"(chip claim {'ok' if claimed else 'absent'})\n")
-        return p.returncode, claimed
+                f"(phase '{_phase()}')\n")
+        return p.returncode, _phase()
 
-    try:
-        os.unlink(_claim_marker())
-    except OSError:
-        pass
-    env = dict(os.environ, NSTPU_BENCH_CLAIM=_claim_marker())
-    rc, claimed = _inner(env, CLAIM_DEADLINE_S)
-    if rc == 0:
-        return 0
-    if rc is not None and claimed:
-        return 1   # real failure past the claim: propagate, don't mask
+    trail = []
+    for attempt in range(1 + CLAIM_RETRIES):
+        try:
+            os.unlink(_claim_marker())
+        except OSError:
+            pass
+        env = dict(os.environ, NSTPU_BENCH_CLAIM=_claim_marker(),
+                   NSTPU_BENCH_CLAIM_TRAIL=";".join(trail))
+        rc, phase = _inner(env, watch=True)
+        if rc == 0:
+            return 0
+        if rc is not None and phase == "warm":
+            return 1   # real failure past the warmup: propagate, don't mask
+        trail.append(f"attempt{attempt}:{phase or 'no-claim'}")
+        sys.stderr.write(f"[bench] chip attempt {attempt} died at phase "
+                         f"'{phase or 'none'}'; "
+                         f"{'retrying' if attempt < CLAIM_RETRIES else 'CPU fallback'}\n")
+        if attempt < CLAIM_RETRIES:
+            time.sleep(RETRY_COOLDOWN_S)
     env = dict(os.environ, JAX_PLATFORMS="cpu", NSTPU_TPU_PROBE="0",
-               NSTPU_BENCH_FORCE_CPU="1")
+               NSTPU_BENCH_FORCE_CPU="1",
+               NSTPU_BENCH_CLAIM_TRAIL=";".join(trail))
     env.setdefault("NSTPU_SKETCH", "native")
-    rc, _ = _inner(env, None)
+    rc, _ = _inner(env, watch=False)
     return 0 if rc == 0 else 1
 
 
@@ -129,9 +157,12 @@ def _bench() -> int:
     )
     total_bases = sum(len(r) for r in reads)
 
-    # Untimed warmup: the first host materialization in a process can stall
-    # for minutes behind the accelerator-claim handshake; absorb it here so
-    # the timed section measures the pipeline, not the tunnel setup.
+    # Untimed warmup: claim + first h2d/d2h round trip, with each phase
+    # reported to the watchdog and timed for the JSON's tunnel-health
+    # record (round-4 verdict ask #3). On this host's sick tunnel the
+    # claim lands in ~0.1 s but the FIRST device->host transfer can stall
+    # 60-300 s (one-time, per process); both phases are absorbed here so
+    # the timed section measures the pipeline, not the tunnel.
     import jax
     if not chip:
         # the env var alone is not enough on hosts whose sitecustomize
@@ -140,11 +171,32 @@ def _bench() -> int:
         # first device op still claims the (unresponsive) chip
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
-    np.asarray(jax.jit(lambda x: x + 1)(np.ones(8, np.float32)))
-    chip = chip and jax.default_backend() != "cpu"
     marker = os.environ.get("NSTPU_BENCH_CLAIM")
-    if marker:
-        open(marker, "w").close()   # tell the watchdog the claim went through
+
+    def _mark(phase: str) -> None:
+        if marker:
+            with open(marker, "a") as f:
+                f.write(phase + "\n")
+
+    tunnel = {"claim_trail": os.environ.get("NSTPU_BENCH_CLAIM_TRAIL", "")}
+    t0 = time.time()
+    backend = jax.default_backend()
+    tunnel["claim_s"] = round(time.time() - t0, 2)
+    _mark("claim")
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(np.ones(8, np.float32)))
+    tunnel["first_roundtrip_s"] = round(time.time() - t0, 2)
+    chip = chip and backend != "cpu"
+    if chip:
+        probe = np.zeros(4 << 20, np.uint8)     # 4 MB each way
+        t0 = time.time()
+        dbuf = jax.device_put(probe)
+        dbuf.block_until_ready()
+        tunnel["h2d_mb_s"] = round(4 / max(time.time() - t0, 1e-9), 1)
+        t0 = time.time()
+        np.asarray(dbuf)
+        tunnel["d2h_mb_s"] = round(4 / max(time.time() - t0, 1e-9), 1)
+    _mark("warm")
 
     # best-of-4: the shared dev hosts show 2-4x co-tenant noise between
     # identical runs (same deterministic outputs), so one sample badly
@@ -206,13 +258,22 @@ def _bench() -> int:
         # False when the subprocess chip probe timed out and the run was
         # pinned to the CPU+native path (tunnel-health observability)
         "chip_attached": chip,
+        # tunnel health: claim wall, first-roundtrip stall, transfer
+        # probe MB/s, and the watchdog's retry trail — a CPU-fallback
+        # round is distinguishable from a chip-ran round at a glance
+        "tunnel": tunnel,
         # per-stage wall of the fastest run (load / pipeline incl.
         # sketch+join+grow+polish / serialize / codec+archive)
         "stages": best_stages,
         # the pipeline stage broken open: sketch_join / components / screen
         # walls plus the engine's own place/dp/apply/polish/emit split and
         # DP counters (ns_engine_timings) — the round-3 verdict asked for
-        # the 81%-of-wall bucket to be visible from the scoreboard artifact
+        # the 81%-of-wall bucket to be visible from the scoreboard artifact.
+        # UNITS: sketch_join/components/screen/emit and engine_wall are
+        # wall-clock; place/dp/apply/polish and the dp_* sub-splits are
+        # THREAD-CUMULATIVE seconds (the engine overlaps its DP worker
+        # with place/apply on the main thread, so these sum to more than
+        # engine_wall by design — the overlap is the point)
         "pipeline_split": best_split,
         # which backend carried the batch DP + the steady-state probe
         # timings when a chip was attached (engine.cpp dp probe)

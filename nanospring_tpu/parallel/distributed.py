@@ -182,6 +182,9 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         ph[name] = round(ph.get(name, 0.0) + (now - _t0), 3)
         _t0 = now
 
+    comm: dict[str, int] = {}   # bytes through each collective (the
+                                # measured communication term ROOFLINE.md
+                                # assumed; per-process view)
     pid = jax.process_index()
     nproc = jax.process_count()
     devs = jax.devices()
@@ -220,6 +223,9 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     exc_pos_g = _gath_ragged(np.asarray(my_store.exc_pos, np.int64))
     exc_byte_g = _gath_ragged(
         np.asarray(my_store.exc_byte, np.int64)).astype(np.uint8)
+    comm["meta_allgather"] = int(
+        (shard_pad * 8 + 8) * nproc
+        + 3 * (max(1, len(exc_read_g) // max(nproc, 1)) * 8) * nproc)
     mhu.sync_global_devices("nstpu shards spilled")
     _tick("ingest")
     store = _FederatedStore(
@@ -276,6 +282,8 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         sk_all = np.concatenate(
             [r[:int(c)] for r, c in
              zip(mhu.process_allgather(pad_rows), shard_counts)])
+        comm["sketch_allgather"] = int(shard_pad * cfg.num_hashes * 4
+                                       * nproc)
         sk_l = np.full((L * rows_per_dev, cfg.num_hashes), sk.EMPTY_SLOT,
                        dtype=np.uint32)
         sk_l[: len(my_rids)] = sk_all[lo:hi]
@@ -333,7 +341,7 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         return _finish_distributed(
             cfg, ph, _tick, pid, nproc, devs, D, L, mesh, store, my_store,
             my_n, id_off, shard_pad, shard_counts, N, my_q, my_r,
-            work_dir, out_path)
+            work_dir, out_path, comm)
 
     # --- stage 1: slot shuffle (value-range owners) -----------------------
     slot_cap = max(64, 2 * Npad // D)
@@ -345,6 +353,9 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         slot_cap *= 2
     else:
         raise RuntimeError("slot shuffle overflow")
+    comm["slot_shuffle"] = int(
+        Npad * (cfg.num_hashes * 4 + 4)              # sketches + rids in
+        + 2 * cfg.num_hashes * slot_cap * D * 4)     # rv/rr out
     _tick("slot_shuffle")
 
     # --- host stage on local shards only ----------------------------------
@@ -392,6 +403,8 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
         pair_cap *= 2  # safety only: the presized cap should never trip
     else:
         raise RuntimeError("pair exchange overflow")
+    comm["pair_exchange"] = int(2 * D * p_local * 4          # send q/r
+                                + 2 * D * pair_cap * D * 4)  # recv q/r
     _tick("pair_exchange")
 
     # local threshold counting, then a host all-gather of the winners so
@@ -419,12 +432,13 @@ def compress_distributed(fq_path: str, out_path: str, work_dir: str,
     return _finish_distributed(
         cfg, ph, _tick, pid, nproc, devs, D, L, mesh, store, my_store,
         my_n, id_off, shard_pad, shard_counts, N, my_q, my_r,
-        work_dir, out_path)
+        work_dir, out_path, comm)
 
 
 def _finish_distributed(cfg, ph, _tick, pid, nproc, devs, D, L, mesh,
                         store, my_store, my_n, id_off, shard_pad,
-                        shard_counts, N, my_q, my_r, work_dir, out_path):
+                        shard_counts, N, my_q, my_r, work_dir, out_path,
+                        comm=None):
     """Shared back half: components -> bins -> grow -> merge/archive."""
     import jax
     from jax.experimental import multihost_utils as mhu
@@ -562,6 +576,15 @@ def _finish_distributed(cfg, ph, _tick, pid, nproc, devs, D, L, mesh,
         "label_allgather_rounds": int(label_rounds),
         "label_allgather_bytes": int(label_rounds) * int(N) * 8,
         "phase_times": dict(ph),
+        # bytes through each collective, per process (the measured comm
+        # term for ROOFLINE.md's multi-chip projection; round-4 verdict
+        # ask #5). label/rep gathers are appended here so one dict holds
+        # the full table.
+        "comm_bytes": {
+            **(comm or {}),
+            "label_allgather": int(label_rounds) * int(N) * 8 * nproc,
+            "rep_mask_allgather": int(shard_pad) * nproc,
+        },
     }
     with open(os.path.join(work_dir, f"mem_{pid}.pkl"), "wb") as f:
         pickle.dump(mem_evidence, f)
