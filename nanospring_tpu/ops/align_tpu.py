@@ -394,194 +394,229 @@ TRACE_ESC = 255     # escape byte: host re-runs the pair on the exact DP
 def _kernel16(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
               cost_ref, len_ref, ts_ref, te_ref, trace_out,
               dirs, trace):
-    # cost lanes are int32: this Mosaic only rotates 32-bit vectors
-    # (re-tested under jax 0.9 this round: "Rotate with non-32-bit data"
-    # still), so the planned int16 lanes (half the VREGs) wait on kernel
-    # support; the win over v1 is still 2x ALU per pair (128 slots, 16
-    # pairs) plus the 4x smaller byte trace.
-    #
-    # Direction storage (round 5): dirs is (m_pad/8, SUB, W) int32 — row
-    # i's 4-bit code for all 16 pairs lives at nibble (i%8) of block
-    # i//8, written through an elementwise accumulator with STATIC
-    # shifts. The previous layout packed the 16 pairs' nibbles across
-    # lanes, which cost two cross-sublane sum reductions plus two masked
-    # (16,128) inserts per DP row and dynamic per-lane shifts in both
-    # loops — measured 1.36x device speedup from this change alone.
+    """v2 dual-block kernel: TWO independent 16-pair blocks per program.
+
+    A chip microbenchmark this round showed the row recurrence is
+    latency-bound: 1, 2 or 4 interleaved row-chains all complete in the
+    same ~1.7 us/iteration (the dependent roll/min chain leaves the VPU
+    idle), so running two blocks' recurrences interleaved in one program
+    raises device throughput at the same band semantics — measured
+    16.5 -> 23.6 Mb/s (1.43x) on the 512 x 4.8 kb KERNELS.json batch
+    (dirs stores and register pressure eat the rest of the ideal 2x).
+
+    Cost lanes are int32: this Mosaic only rotates 32-bit vectors
+    (re-tested under jax 0.9: "Rotate with non-32-bit data"), so the
+    int16 half-VREG variant still waits on toolchain support.
+
+    Direction storage: 3-bit codes, 10 DP rows per int32 word, in a
+    (2, m_pad/10+2, 16, 128) VMEM scratch — elementwise accumulate with
+    STATIC shifts (no cross-sublane packing), 20-row groups so word
+    boundaries align with the unroll. The 3-bit/10-row packing (vs
+    4-bit/8-row) is what fits TWO blocks' direction arrays in VMEM at
+    m_pad 8192.
+    """
     pid = pl.program_id(0)
     INF = jnp.int32(_INF16)
     k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    NB = 2                   # blocks per program
+    GR = 20                  # rows per group (= 2 direction words; GR=40 spills past the 16 MB VMEM scoped limit)
 
-    def col(ref):
+    def col(ref, b):
         out = jnp.zeros((_SUB16, 1), jnp.int32)
         for s in range(_SUB16):
-            out = jnp.where(sub == s, ref[_SUB16 * pid + s], out)
+            out = jnp.where(sub == s, ref[(NB * pid + b) * _SUB16 + s], out)
         return out
 
-    d0 = col(d0_ref)
-    m = col(m_ref)
-    n = col(n_ref)
-    maxc = col(maxc_ref)
-    i_max = jnp.max(m)
+    d0 = [col(d0_ref, b) for b in range(NB)]
+    m = [col(m_ref, b) for b in range(NB)]
+    n = [col(n_ref, b) for b in range(NB)]
+    maxc = [col(maxc_ref, b) for b in range(NB)]
+    i_max = jnp.maximum(jnp.max(m[0]), jnp.max(m[1]))
 
     # slots k in [1, 127] (offset |j-i-d0| <= 63); k == 0 stays invalid so
     # the kernel matches ns_banded_align(W=63) exactly
     kvalid = k >= 1
-    j0 = d0 + (k - _KOFF16)
-    prev0 = jnp.where(kvalid & (j0 >= 0) & (j0 <= n),
-                      jnp.int32(0), INF)
+    prev0 = []
+    for b in range(NB):
+        j0 = d0[b] + (k - _KOFF16)
+        prev0.append(jnp.where(kvalid & (j0 >= 0) & (j0 <= n[b]),
+                               jnp.int32(0), INF))
 
     def row_group(carry):
-        i0, prev, _pl, _ph = carry
+        i0, prev_a, prev_b = carry
+        prev = [prev_a, prev_b]
         ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
         rot0 = i0 - ib
-        # dynamic rotates must be 32-bit on this Mosaic ("Rotate with
-        # non-32-bit data"), so the uint8 loads widen before rolling
-        tch = tpad_ref[0, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
-        trot = pltpu.roll(tch, 3 * _W16 - rot0, axis=1)
-        qch = q_ref[0, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
-        qrot = pltpu.roll(qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1)
-        acc0 = jnp.zeros((_SUB16, _W16), jnp.int32)
-        acc1 = jnp.zeros((_SUB16, _W16), jnp.int32)
-        for r in range(_SUB16):
+        # dynamic rotates must be 32-bit on this Mosaic, so the uint8
+        # loads widen before rolling
+        trot = []
+        qrot = []
+        for b in range(NB):
+            tch = tpad_ref[b, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
+            trot.append(pltpu.roll(tch, 3 * _W16 - rot0, axis=1))
+            qch = q_ref[b, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
+            qrot.append(pltpu.roll(
+                qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1))
+        wrds = [[jnp.zeros((_SUB16, _W16), jnp.int32)
+                 for _ in range(GR // 10)] for _ in range(NB)]
+        for r in range(GR):
             i = i0 + r
-            tchar = trot[:, r: r + _W16]
-            qc = qrot[:, r: r + 1]
-            j = d0 + i + (k - _KOFF16)
-            jvalid = kvalid & (j >= 0) & (j <= n)
-            dvalid = (j >= 1) & (j <= n)
-            match = tchar == qc
-            diag = jnp.where(
-                dvalid & (prev < INF),
-                prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
-                INF,
-            )
-            up = pltpu.roll(prev, _W16 - 1, axis=1)
-            up = jnp.where((k < _W16 - 1) & (up < INF),
-                           up + jnp.int32(1), INF)
-            base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
-            x = base - k
-            for sh in (1, 2, 4, 8, 16, 32, 64):
-                shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
-                x = jnp.minimum(x, shifted)
-            cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
-            d = jnp.where(
-                cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
-                jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
-            )
-            d = jnp.where(cur >= INF, jnp.int32(3), d)
-            live = (i >= 1) & (i <= m)
-            prev = jnp.where(live, cur, prev)
-            # nibble insert: elementwise, static shift (no cross-sublane
-            # reduction, no dynamic per-lane shift)
-            if r < 8:
-                acc0 = acc0 | (d << (4 * r))
-            else:
-                acc1 = acc1 | (d << (4 * (r - 8)))
-        blk = pl.multiple_of(i0 // 8, 2)
-        dirs[blk, :, :] = acc0
-        dirs[blk + 1, :, :] = acc1
-        return i0 + _SUB16, prev, acc0, acc1
+            for b in range(NB):
+                tchar = trot[b][:, r: r + _W16]
+                qc = qrot[b][:, r: r + 1]
+                j = d0[b] + i + (k - _KOFF16)
+                jvalid = kvalid & (j >= 0) & (j <= n[b])
+                dvalid = (j >= 1) & (j <= n[b])
+                match = tchar == qc
+                diag = jnp.where(
+                    dvalid & (prev[b] < INF),
+                    prev[b] + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+                    INF,
+                )
+                up = pltpu.roll(prev[b], _W16 - 1, axis=1)
+                up = jnp.where((k < _W16 - 1) & (up < INF),
+                               up + jnp.int32(1), INF)
+                base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+                x = base - k
+                for sh in (1, 2, 4, 8, 16, 32, 64):
+                    shifted = jnp.where(k >= sh,
+                                        pltpu.roll(x, sh, axis=1), INF)
+                    x = jnp.minimum(x, shifted)
+                cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+                d = jnp.where(
+                    cur == diag,
+                    jnp.where(match, jnp.int32(4), jnp.int32(0)),
+                    jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+                )
+                d = jnp.where(cur >= INF, jnp.int32(3), d)
+                live = (i >= 1) & (i <= m[b])
+                prev[b] = jnp.where(live, cur, prev[b])
+                # 3-bit nibble insert: elementwise, static shift
+                wrds[b][r // 10] = wrds[b][r // 10] | (d << (3 * (r % 10)))
+        wi = pl.multiple_of(i0 // 10, GR // 10)
+        for b in range(NB):
+            for w in range(GR // 10):
+                dirs[b, wi + w, :, :] = wrds[b][w]
+        return i0 + GR, prev[0], prev[1]
 
-    zero_acc = jnp.zeros((_SUB16, _W16), jnp.int32)
-    _i, prev, _dl, _dh = jax.lax.while_loop(
+    _i, prev_a, prev_b = jax.lax.while_loop(
         lambda c: c[0] <= i_max, row_group,
-        (jnp.int32(0), prev0, zero_acc, zero_acc))
+        (jnp.int32(0), prev0[0], prev0[1]))
+    prev = [prev_a, prev_b]
 
-    jm = d0 + m + (k - _KOFF16)
-    final = jnp.where(kvalid & (jm >= 0) & (jm <= n),
-                      prev, jnp.int32(1 << 20))
-    best = jnp.min(final, axis=1, keepdims=True)
-    best_k = jnp.min(jnp.where(final == best, k, jnp.int32(_W16)),
-                     axis=1, keepdims=True)
-    ok = (best <= maxc) & (m > 0)
+    best = []
+    best_k = []
+    ok = []
+    for b in range(NB):
+        jm = d0[b] + m[b] + (k - _KOFF16)
+        final = jnp.where(kvalid & (jm >= 0) & (jm <= n[b]),
+                          prev[b], jnp.int32(1 << 20))
+        best.append(jnp.min(final, axis=1, keepdims=True))
+        best_k.append(jnp.min(
+            jnp.where(final == best[b], k, jnp.int32(_W16)),
+            axis=1, keepdims=True))
+        ok.append((best[b] <= maxc[b]) & (m[b] > 0))
 
     def tb_group(carry):
-        g0, kk, ndel, strip = carry
-        blk = pl.multiple_of(g0 // 8, 2)
-        blk0 = dirs[blk, :, :]
-        blk1 = dirs[blk + 1, :, :]
-        for r in range(_SUB16 - 1, -1, -1):
+        g0, kk_a, kk_b, nd_a, nd_b, st_a, st_b = carry
+        kk = [kk_a, kk_b]
+        ndel = [nd_a, nd_b]
+        strip = [st_a, st_b]
+        wi = pl.multiple_of(g0 // 10, GR // 10)
+        blks = [[dirs[b, wi + w, :, :] for w in range(GR // 10)]
+                for b in range(NB)]
+        for r in range(GR - 1, -1, -1):
             i = g0 + r
-            active = (i >= 1) & (i <= m) & ok
-            src = blk1 if r >= 8 else blk0
-            row_d = (src >> (4 * (r % 8))) & 7
-            opb = row_d & 3
-            nd_mask = (opb != 2) & (k <= kk)
-            kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
-                         axis=1, keepdims=True)
-            dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
-                           axis=1, keepdims=True)
-            optype = dval & 3
-            mbit = dval >> 2
-            dels = kk - kp
-            # byte: op2(2b) << 6 | dels(6b); op2: 0 '=', 1 's', 2 'i';
-            # 255 = escape (dels too long / broken cell -> host re-runs)
-            op2 = jnp.where(optype == 1, jnp.int32(2),
-                            jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
-            esc = (dels > 62) | (optype >= 3) | (dval < 0)
-            rec = jnp.where(esc, jnp.int32(TRACE_ESC), (op2 << 6) | dels)
-            pos = i - 1
-            lane = (pos % 512) // 4
-            sh8 = 8 * (pos % 4)
-            strip = jnp.where((lane128 == lane) & active,
-                              strip + (rec << sh8), strip)
-            flush = (pos % 512 == 0) & (i >= 1)
+            for b in range(NB):
+                active = (i >= 1) & (i <= m[b]) & ok[b]
+                src = blks[b][r // 10]
+                row_d = (src >> (3 * (r % 10))) & 7
+                opb = row_d & 3
+                nd_mask = (opb != 2) & (k <= kk[b])
+                kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                             axis=1, keepdims=True)
+                dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                               axis=1, keepdims=True)
+                optype = dval & 3
+                mbit = dval >> 2
+                dels = kk[b] - kp
+                # byte: op2(2b) << 6 | dels(6b); op2: 0 '=', 1 's',
+                # 2 'i'; 255 = escape -> host re-runs the pair
+                op2 = jnp.where(
+                    optype == 1, jnp.int32(2),
+                    jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
+                esc = (dels > 62) | (optype >= 3) | (dval < 0)
+                rec = jnp.where(esc, jnp.int32(TRACE_ESC), (op2 << 6) | dels)
+                pos = i - 1
+                lane = (pos % 512) // 4
+                sh8 = 8 * (pos % 4)
+                strip[b] = jnp.where((lane128 == lane) & active,
+                                     strip[b] + (rec << sh8), strip[b])
+                flush = (pos % 512 == 0) & (i >= 1)
 
-            @pl.when(flush)
-            def _(strip=strip, pos=pos):
-                soff = pl.multiple_of(pos // 4, _W16)
-                trace[:, pl.ds(soff, _W16)] = strip
+                @pl.when(flush)
+                def _(strip=strip[b], pos=pos, b=b):
+                    soff = pl.multiple_of(pos // 4, _W16)
+                    trace[b, :, pl.ds(soff, _W16)] = strip
 
-            strip = jnp.where(flush, jnp.int32(0), strip)
-            kk = jnp.where(
-                active,
-                kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
-                kk)
-            ndel = ndel + jnp.where(active & ~esc, dels, jnp.int32(0))
-        return g0 - _SUB16, kk, ndel, strip
+                strip[b] = jnp.where(flush, jnp.int32(0), strip[b])
+                kk[b] = jnp.where(
+                    active,
+                    kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+                    kk[b])
+                ndel[b] = ndel[b] + jnp.where(active & ~esc, dels,
+                                              jnp.int32(0))
+        return (g0 - GR, kk[0], kk[1], ndel[0], ndel[1],
+                strip[0], strip[1])
 
-    _g, k_fin, ndel, _s = jax.lax.while_loop(
+    z1 = jnp.zeros((_SUB16, 1), jnp.int32)
+    zs = jnp.zeros((_SUB16, _W16), jnp.int32)
+    out_tb = jax.lax.while_loop(
         lambda c: c[0] >= 0, tb_group,
-        ((i_max // _SUB16) * _SUB16, best_k,
-         jnp.zeros((_SUB16, 1), jnp.int32),
-         jnp.zeros((_SUB16, _W16), jnp.int32)))
+        ((i_max // GR) * GR, best_k[0], best_k[1], z1, z1, zs, zs))
+    k_fin = [out_tb[1], out_tb[2]]
+    ndel = [out_tb[3], out_tb[4]]
 
-    cost = jnp.where(ok, best, jnp.where(m > 0, jnp.int32(-1), jnp.int32(0)))
-    ops_len = jnp.where(ok, m + ndel, 0)
-    tstart = jnp.where(ok, d0 + (k_fin - _KOFF16), 0)
-    tend = jnp.where(ok, d0 + m + (best_k - _KOFF16), 0)
     NEG = jnp.int32(-(1 << 30))
-    for s in range(_SUB16):
-        pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
-        cost_ref[_SUB16 * pid + s] = pick(cost)
-        len_ref[_SUB16 * pid + s] = pick(ops_len)
-        ts_ref[_SUB16 * pid + s] = pick(tstart)
-        te_ref[_SUB16 * pid + s] = pick(tend)
-    trace_out[0, :, :] = trace[:, :]
+    for b in range(NB):
+        cost = jnp.where(ok[b], best[b],
+                         jnp.where(m[b] > 0, jnp.int32(-1), jnp.int32(0)))
+        ops_len = jnp.where(ok[b], m[b] + ndel[b], 0)
+        tstart = jnp.where(ok[b], d0[b] + (k_fin[b] - _KOFF16), 0)
+        tend = jnp.where(ok[b], d0[b] + m[b] + (best_k[b] - _KOFF16), 0)
+        for s in range(_SUB16):
+            pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+            cost_ref[(NB * pid + b) * _SUB16 + s] = pick(cost)
+            len_ref[(NB * pid + b) * _SUB16 + s] = pick(ops_len)
+            ts_ref[(NB * pid + b) * _SUB16 + s] = pick(tstart)
+            te_ref[(NB * pid + b) * _SUB16 + s] = pick(tend)
+    trace_out[...] = trace[...]
 
 
 @functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
 def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
                     m_pad: int, interpret: bool = False):
     PB = tpad.shape[0]
+    assert PB % 2 == 0, "dual-block kernel needs an even block count"
     scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     tw = m_pad + 3 * _W16
     qw = m_pad + 2 * _W16
+    nwords = m_pad // 10 + 5
     out = pl.pallas_call(
         _kernel16,
-        grid=(PB,),
+        grid=(PB // 2,),
         in_specs=[
             scalar(), scalar(), scalar(), scalar(),
-            pl.BlockSpec((1, _SUB16, tw), lambda p: (p, 0, 0),
+            pl.BlockSpec((2, _SUB16, tw), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB16, qw), lambda p: (p, 0, 0),
+            pl.BlockSpec((2, _SUB16, qw), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             scalar(), scalar(), scalar(), scalar(),
-            pl.BlockSpec((1, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
+            pl.BlockSpec((2, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -592,8 +627,8 @@ def _align_padded16(d0, q_len, t_len, max_cost, tpad, queries,
             jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m_pad // 8 + 2, _SUB16, _W16), jnp.int32),
-            pltpu.VMEM((_SUB16, m_pad // 4), jnp.int32),
+            pltpu.VMEM((2, nwords, _SUB16, _W16), jnp.int32),
+            pltpu.VMEM((2, _SUB16, m_pad // 4), jnp.int32),
         ],
         interpret=interpret,
     )(d0, q_len, t_len, max_cost, tpad, queries)
@@ -899,6 +934,8 @@ def banded_align_batch_tpu16(
         raise ValueError("query too long for the v2/v3 kernels")
     tiled = m_pad > M_PAD16_MAX      # v3 checkpoint-recompute kernel
     blocks = max(1, -(-P // _SUB16))
+    if not tiled and blocks % 2:
+        blocks += 1                  # dual-block v2 pairs up 16-pair blocks
     p_pad = blocks * _SUB16
     tw = m_pad + 3 * _W16
     qw = m_pad + 2 * _W16
