@@ -91,12 +91,28 @@ def main() -> int:
                 p.wait()
                 return None, _phase()
         out, _ = p.communicate()
-        sys.stdout.write(out.decode())
-        if p.returncode != 0:
+        text = out.decode()
+        sys.stdout.write(text)
+        rc = p.returncode
+        if rc != 0:
+            # an exit-time teardown crash AFTER the result line was
+            # printed (observed once: pthread-cancel abort in a
+            # library's atexit path) must not discard a completed,
+            # verified measurement
+            try:
+                last = json.loads(text.strip().split("\n")[-1])
+                if last.get("metric") and "error" not in last:
+                    sys.stderr.write(
+                        f"[bench] inner exited rc={rc} AFTER printing a "
+                        f"complete result — keeping it\n")
+                    rc = 0
+            except Exception:
+                pass
+        if rc != 0:
             sys.stderr.write(
                 f"[bench] inner run failed rc={p.returncode} "
                 f"(phase '{_phase()}')\n")
-        return p.returncode, _phase()
+        return rc, _phase()
 
     trail = []
     for attempt in range(1 + CLAIM_RETRIES):

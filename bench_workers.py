@@ -81,6 +81,7 @@ def distributed_curve(fq: str, total_bases: int, work: str) -> dict:
         env = _env()
         env["XLA_FLAGS"] = (
             f"--xla_force_host_platform_device_count={max(1, 8 // nproc)}")
+        env["NSTPU_CPU_DEVICES"] = str(max(1, 8 // nproc))
         t0 = time.time()
         procs = [
             subprocess.Popen(
@@ -95,6 +96,14 @@ def distributed_curve(fq: str, total_bases: int, work: str) -> dict:
             assert p.returncode == 0, o[-2000:]
         out[str(nproc)] = {"wall_s": round(wall, 1),
                            "mbases_s": round(total_bases / wall / 1e6, 2)}
+        try:
+            import pickle
+            ev = pickle.load(
+                open(os.path.join(work, "mem_0.pkl"), "rb"))
+            out[str(nproc)]["phase_times"] = ev.get("phase_times")
+            out[str(nproc)]["comm_bytes"] = ev.get("comm_bytes")
+        except Exception:
+            pass
     base = out["1"]["wall_s"]
     for nproc in (1, 2, 4):
         out[str(nproc)]["speedup"] = round(

@@ -730,6 +730,14 @@ def _main(argv) -> int:
     import jax
 
     jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+    # jax >= 0.9 ignores --xla_force_host_platform_device_count; the
+    # virtual CPU mesh is requested via config (must precede backend init)
+    ndev = os.environ.get("NSTPU_CPU_DEVICES")
+    if ndev:
+        try:
+            jax.config.update("jax_num_cpu_devices", int(ndev))
+        except Exception:
+            pass
     initialize(f"127.0.0.1:{port}", int(nproc), int(pid))
     res = compress_distributed(fq, out, work)
     if res is not None:
