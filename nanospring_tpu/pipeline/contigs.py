@@ -82,6 +82,22 @@ def _tpu_attached() -> bool:
     """
     global _TPU_ATTACHED
     if _TPU_ATTACHED is None:
+        # explicit CPU pins short-circuit WITHOUT touching a device: this
+        # host's sitecustomize sets jax_platforms programmatically, so the
+        # JAX_PLATFORMS=cpu env var alone does not stop the first device
+        # op from claiming the (possibly sick) tunnel — honoring the env
+        # here also means no probe thread is ever left blocked inside the
+        # plugin (observed: such a thread aborts the process at exit)
+        if (os.environ.get("NSTPU_TPU_PROBE") == "0"
+                or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"):
+            try:
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+            _TPU_ATTACHED = False
+            return False
         try:
             timeout = float(os.environ.get("NSTPU_CHIP_CLAIM_TIMEOUT_S",
                                            "120"))

@@ -20,9 +20,17 @@ def _reset_guard():
     contigs._TPU_ATTACHED = None
 
 
+def _unpin(monkeypatch):
+    # the guard short-circuits on explicit CPU pins without touching a
+    # device; these tests exercise the probe path, so clear the pins
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("NSTPU_TPU_PROBE", raising=False)
+
+
 def test_hung_claim_times_out_and_falls_back(monkeypatch, capsys):
     """A first device touch that never returns must not hang the library."""
     _reset_guard()
+    _unpin(monkeypatch)
     monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "0.5")
 
     import jax
@@ -42,6 +50,7 @@ def test_hung_claim_times_out_and_falls_back(monkeypatch, capsys):
 
 def test_cpu_backend_reports_unattached(monkeypatch):
     _reset_guard()
+    _unpin(monkeypatch)
     monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "30")
 
     import jax
@@ -58,6 +67,7 @@ def test_healthy_backend_roundtrip(monkeypatch):
     completes instantly — the guard must return True without timing out.
     """
     _reset_guard()
+    _unpin(monkeypatch)
     monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "30")
 
     import jax
@@ -70,6 +80,7 @@ def test_healthy_backend_roundtrip(monkeypatch):
 def test_compress_completes_with_hung_claim(monkeypatch, tmp_path):
     """The full library entry point finishes on CPU when the chip hangs."""
     _reset_guard()
+    _unpin(monkeypatch)
     monkeypatch.setenv("NSTPU_CHIP_CLAIM_TIMEOUT_S", "0.5")
     monkeypatch.setenv("NSTPU_SKETCH", "auto")
 
@@ -92,4 +103,27 @@ def test_compress_completes_with_hung_claim(monkeypatch, tmp_path):
     decompressor.decompress_file(arc, out, report=False)
     with open(out, "rb") as f:
         assert f.read().splitlines() == reads
+    _reset_guard()
+
+
+def test_cpu_pin_short_circuits_without_device_touch(monkeypatch):
+    """JAX_PLATFORMS=cpu (or NSTPU_TPU_PROBE=0) must answer instantly and
+    never spawn the probe thread — this host's sitecustomize overrides the
+    env var programmatically, and a probe thread left blocked inside the
+    plugin aborts the process at exit."""
+    import jax
+
+    for pin in ({"JAX_PLATFORMS": "cpu"}, {"NSTPU_TPU_PROBE": "0"}):
+        _reset_guard()
+        _unpin(monkeypatch)
+        for k, v in pin.items():
+            monkeypatch.setenv(k, v)
+
+        def _boom():
+            raise AssertionError("probe must not touch the backend")
+
+        monkeypatch.setattr(jax, "default_backend", _boom)
+        t0 = time.time()
+        assert contigs._tpu_attached() is False
+        assert time.time() - t0 < 1.0
     _reset_guard()
