@@ -116,6 +116,36 @@ def serialize_lone(
     lone_ids: np.ndarray, store, out: st.StreamSet, chunk: int = 65536
 ) -> None:
     """Write lone reads (sequence per line) in id order."""
+    lone_ids = np.ascontiguousarray(lone_ids, dtype=np.int64)
+    packed = getattr(store, "packed", None)
+    if packed is not None and len(lone_ids):
+        # native fast path: 2-bit -> ASCII lines straight off the packed
+        # store (the python path below materializes a padded matrix +
+        # boolean mask; measured ~65 MB/s vs memory-speed here)
+        try:
+            import ctypes
+
+            from .. import native
+
+            lib = native.get_lib()
+            if not packed.flags["C_CONTIGUOUS"]:
+                packed = np.ascontiguousarray(packed)
+            total = int(store.lengths[lone_ids].sum()) + len(lone_ids)
+            buf = np.empty(total, dtype=np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            n = lib.ns_emit_lone(
+                packed.ctypes.data_as(u8p),
+                store.offsets.ctypes.data_as(i64p),
+                store.lengths.ctypes.data_as(i64p),
+                lone_ids.ctypes.data_as(i64p),
+                ctypes.c_int64(len(lone_ids)),
+                buf.ctypes.data_as(u8p))
+            assert n == total
+            out.append("lone", buf)
+            return
+        except Exception:
+            pass
     for i in range(0, len(lone_ids), chunk):
         ids = lone_ids[i : i + chunk]
         lens = store.lengths[ids]

@@ -222,6 +222,8 @@ def get_lib() -> ctypes.CDLL:
             lib.ns_sketch_reads.argtypes = [
                 u8p, i64p, i64p, i64p, i64, u32p, u32p, i64, i64, i64, u32p,
             ]
+            lib.ns_emit_lone.restype = i64
+            lib.ns_emit_lone.argtypes = [u8p, i64p, i64p, i64p, i64, u8p]
             lib.ns_varint_encode.restype = i64
             lib.ns_varint_encode.argtypes = [u64p, i64, u8p]
             lib.ns_varint_decode.restype = i64

@@ -241,4 +241,35 @@ int64_t ns_varint_decode(const uint8_t* buf, int64_t n, uint64_t* out)
     return m;
 }
 
+
+// Unpack lone reads straight into an ASCII line buffer: for each id,
+// 2-bit codes -> "ACGT" bytes + '\n'. Replaces the python path's padded
+// (n, Lpad) matrix + boolean mask + scatter (serialize.py serialize_lone
+// was ~65 MB/s; this runs at memory speed). Reference role: the .lone
+// stream write, src/ConsensusGraph.cpp:1014-1016.
+int64_t ns_emit_lone(const uint8_t* packed, const int64_t* offsets,
+                     const int64_t* lengths, const int64_t* ids, int64_t n,
+                     uint8_t* out)
+{
+    static const char* B = "ACGT";
+    int64_t o = 0;
+    for (int64_t x = 0; x < n; ++x) {
+        const int64_t r = ids[x];
+        const int64_t len = lengths[r];
+        const uint8_t* src = packed + offsets[r];
+        int64_t i = 0;
+        for (; i + 4 <= len; i += 4) {
+            const uint8_t b = src[i >> 2];
+            out[o++] = (uint8_t)B[b & 3];
+            out[o++] = (uint8_t)B[(b >> 2) & 3];
+            out[o++] = (uint8_t)B[(b >> 4) & 3];
+            out[o++] = (uint8_t)B[(b >> 6) & 3];
+        }
+        for (; i < len; ++i)
+            out[o++] = (uint8_t)B[(src[i >> 2] >> (2 * (i & 3))) & 3];
+        out[o++] = '\n';
+    }
+    return o;
+}
+
 }  // extern "C"
