@@ -912,21 +912,37 @@ int64_t ns_bsc_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   uint32_t primary;
   uint32_t ck[32];
   int nck = 1;
-  uint8_t mode = code_block(in, n, payload, &primary, &nck, ck);
   bool use_lzp = false;
   int64_t m = n;
-  // second coding pass only when LZP removed >= 2% of the bytes: the
-  // decision costs a full extra BWT+coder pass, and a sub-percent LZP
-  // shrink never survives the final-size comparison (measured on the pos
-  // stream: 1.2% shrink, 0.09% final difference, 2x the codec time)
-  if (int64_t(lz.size()) + n / 50 < n) {
+  const bool lzp_engages0 = int64_t(lz.size()) + n / 50 < n;
+  const bool lzp_decisive0 = int64_t(lz.size()) + (3 * n) / 25 < n;
+  uint8_t mode = 0;
+  if (!lzp_decisive0)
+    mode = code_block(in, n, payload, &primary, &nck, ck);
+  // LZP engagement policy, measured (round 5, NSTPU_CODEC_DEBUG):
+  //   shrink <  2%: never survives the final-size comparison (pos
+  //                 stream: 1.2% shrink, 0.09% final difference) — skip.
+  //   shrink >= 12%: LZP wins decisively (genome stream: 13.6% shrink,
+  //                 8.5% smaller coded) — code ONLY the LZP variant and
+  //                 save a whole BWT+coder pass.
+  //   2-12%:        marginal (base stream: 3.0% shrink, 0.4% win) and
+  //                 LZP can scramble the BWT structure the coder feeds
+  //                 on (measured on the type stream) — code both, keep
+  //                 the smaller.
+  if (lzp_engages0) {
+    if (std::getenv("NSTPU_CODEC_DEBUG"))
+      std::fprintf(stderr, "[codec] lzp %s: n=%lld lz=%lld "
+                   "shrink=%.1f%%\n",
+                   lzp_decisive0 ? "single-pass" : "dual-pass",
+                   (long long)n, (long long)lz.size(),
+                   100.0 * double(n - (int64_t)lz.size()) / double(n));
     std::vector<uint8_t> payload2;
     uint32_t primary2;
     uint32_t ck2[32];
     int nck2 = 1;
     const uint8_t coder2m = code_block(lz.data(), (int64_t)lz.size(),
                                        payload2, &primary2, &nck2, ck2);
-    if (payload2.size() + 4 < payload.size()) {
+    if (lzp_decisive0 || payload2.size() + 4 < payload.size()) {
       payload.swap(payload2);
       primary = primary2;
       mode = coder2m | 4;
