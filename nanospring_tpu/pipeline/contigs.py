@@ -1254,13 +1254,17 @@ def _build_candidate_graph(store, cfg: CompressConfig, stats: FunnelStats,
     device-side half of the pipeline)."""
     N = store.num_reads
     premz_fut = None
-    # low-mem runs skip the whole-dataset tables (~0.7 B/base: 0.7 GB per
-    # Gbase was the single biggest term in the 1-Gbase run's 3.07 GB peak
-    # RSS); the engine's on-demand mz_cache holds only frontier reads and
-    # evicts on accept, so the working set stays O(frontier), not O(N)
+    # The precomputed minimizer tables STAY ON in low-mem runs: measured
+    # at 1 Gbase (round 5), disabling them pushed the engine onto its
+    # on-demand mz_cache, whose per-read vector/map overhead grew peak
+    # RSS 1.73 -> 3.18 GB — the packed tables (~0.7 B/base) are the
+    # cheaper memory by >2x AND avoid recomputing minimizers per
+    # placement. (An earlier advisor note flagged the low-mem gate here
+    # as a silent no-op; making it effective was measured worse on both
+    # axes, so the gate is deliberately absent — this comment is the
+    # record.)
     if (not getattr(cfg, "disable_assembly", False)
             and cfg.aligner != "python"
-            and not getattr(store, "low_mem", False)
             and 0 < store.total_bases <= PREMZ_MAX_BASES):
         import concurrent.futures as _cf
 
