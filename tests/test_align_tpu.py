@@ -89,17 +89,19 @@ def test_tpu_kernel_rejects_garbage():
     assert res.cost[0] == -1 and res.ops_len[0] == 0
 
 
-def test_tpu16_kernel_matches_native():
-    """v2 kernel (int16/128-slot/16-pair, byte traces) must match the exact
-    C++ DP at W=63: equal costs, replay-valid scripts."""
+@pytest.mark.parametrize("P", [19, 33])
+def test_tpu16_kernel_matches_native(P):
+    """v2 dual-block kernel must match the exact C++ DP at W=63: equal
+    costs, replay-valid scripts. P=19 fills 2 blocks (one program);
+    P=33 needs 3 blocks and exercises the odd-block-count rounding."""
     from nanospring_tpu.ops.align_tpu import banded_align_batch_tpu16
 
     rng = np.random.default_rng(3)
-    args = _mkbatch(19, rng)
+    args = _mkbatch(P, rng)
     ref = banded_align_batch(*args, band=63, use_native=True)
     tpu = banded_align_batch_tpu16(*args, interpret=True)
     assert np.array_equal(ref.cost, tpu.cost), (ref.cost, tpu.cost)
-    for p in range(19):
+    for p in range(P):
         if tpu.cost[p] >= 0:
             assert _replay_ok(args, tpu, p), p
 
