@@ -305,22 +305,26 @@ def dp_kernel_v3() -> None:
 
     from nanospring_tpu.ops import align_tpu as at
 
-    # one ultra-long pair per sublane slot: 16 x 110k bases
-    P, m = 16, 110_000
-    t_flat, t_off, t_len, q_flat, q_off, q_len, d0 = _make_pairs(
-        P, m, 0.04, seed=3)
-    t0 = time.time()
-    r = at.banded_align_batch_tpu16(t_flat, t_off, t_len,
-                                    q_flat, q_off, q_len, d0)
-    e2e = time.time() - t0
-    bases = int(q_len.sum())
-    RES["kernels"]["dp_v3_long"] = {
-        "batch": f"{P} pairs x {m} bases (row-tiled checkpoint kernel)",
-        "e2e_wall_s": round(e2e, 2),
-        "e2e_mbases_s": round(bases / e2e / 1e6, 2),
-        "accept_rate": round(float((np.asarray(r.cost) >= 0).mean()), 3),
-    }
-    _save()
+    # hs2-like reads (reference headline avg 24,492 b): m_pad 32768 ->
+    # the DUAL-block tiled kernel; plus one ultra-long batch (110 kb ->
+    # m_pad 131072, above M_PAD16T2_MAX) on the single-block variant
+    for tag, P, m in (("dp_v3_hs2", 64, 24_000), ("dp_v3_long", 16, 110_000)):
+        t_flat, t_off, t_len, q_flat, q_off, q_len, d0 = _make_pairs(
+            P, m, 0.04, seed=3)
+        t0 = time.time()
+        r = at.banded_align_batch_tpu16(t_flat, t_off, t_len,
+                                        q_flat, q_off, q_len, d0)
+        e2e = time.time() - t0
+        bases = int(q_len.sum())
+        RES["kernels"][tag] = {
+            "batch": f"{P} pairs x {m} bases (row-tiled checkpoint "
+                     f"kernel, {'dual' if m <= 65536 else 'single'}-block)",
+            "e2e_wall_s": round(e2e, 2),
+            "e2e_mbases_s": round(bases / e2e / 1e6, 2),
+            "accept_rate": round(
+                float((np.asarray(r.cost) >= 0).mean()), 3),
+        }
+        _save()
 
 
 def main() -> int:

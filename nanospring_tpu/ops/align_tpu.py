@@ -907,6 +907,298 @@ def _align_padded16t(d0, q_len, t_len, max_cost, tpad, queries,
     return out
 
 
+M_PAD16T2_MAX = 65536     # dual-block tiled kernel VMEM cap: tpad+q+trace
+                          # + ckpt + two dirs tiles ~ 11 MB at 65536; the
+                          # 131072 cap stays on the single-block kernel
+
+
+def _kernel16t2(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
+                cost_ref, len_ref, ts_ref, te_ref, trace_out,
+                dirs_lo, dirs_hi, trace, ckpt):
+    """Dual-block v3: the checkpoint-recompute row-tiled kernel with TWO
+    independent 16-pair blocks per program, their recurrences interleaved
+    (same latency-bound-chain rationale and measured ~1.4x as the dual
+    v2 kernel; see _kernel16). Structure and 4-bit/8-row direction
+    packing match _kernel16t; only the state is dualized."""
+    pid = pl.program_id(0)
+    INF = jnp.int32(_INF16)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, _W16), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    NB = 2
+
+    def col(ref, b):
+        out = jnp.zeros((_SUB16, 1), jnp.int32)
+        for s in range(_SUB16):
+            out = jnp.where(sub == s, ref[(NB * pid + b) * _SUB16 + s], out)
+        return out
+
+    d0 = [col(d0_ref, b) for b in range(NB)]
+    m = [col(m_ref, b) for b in range(NB)]
+    n = [col(n_ref, b) for b in range(NB)]
+    maxc = [col(maxc_ref, b) for b in range(NB)]
+    i_max = jnp.maximum(jnp.max(m[0]), jnp.max(m[1]))
+
+    kvalid = k >= 1
+    prev0 = []
+    for b in range(NB):
+        j0 = d0[b] + (k - _KOFF16)
+        prev0.append(jnp.where(kvalid & (j0 >= 0) & (j0 <= n[b]),
+                               jnp.int32(0), INF))
+    zero_lo = jnp.full((_SUB16, _W16), 0x33333333, jnp.int32)
+
+    def load_chars(i0, b):
+        ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
+        rot0 = i0 - ib
+        tch = tpad_ref[b, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
+        trot = pltpu.roll(tch, 3 * _W16 - rot0, axis=1)
+        qch = q_ref[b, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
+        qrot = pltpu.roll(qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1)
+        return trot, qrot
+
+    def row_step(i, prev, trot, qrot, r, b):
+        tchar = trot[:, r: r + _W16]
+        qc = qrot[:, r: r + 1]
+        j = d0[b] + i + (k - _KOFF16)
+        jvalid = kvalid & (j >= 0) & (j <= n[b])
+        dvalid = (j >= 1) & (j <= n[b])
+        match = tchar == qc
+        diag = jnp.where(
+            dvalid & (prev < INF),
+            prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+            INF,
+        )
+        up = pltpu.roll(prev, _W16 - 1, axis=1)
+        up = jnp.where((k < _W16 - 1) & (up < INF),
+                       up + jnp.int32(1), INF)
+        base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+        x = base - k
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
+            x = jnp.minimum(x, shifted)
+        cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+        d = jnp.where(
+            cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
+            jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+        )
+        d = jnp.where(cur >= INF, jnp.int32(3), d)
+        live = (i >= 1) & (i <= m[b])
+        prev = jnp.where(live, cur, prev)
+        return prev, d
+
+    # ---- forward pass 1: band state only, checkpoints every _TR rows ----
+    def fwd_group(carry):
+        i0, prev_a, prev_b = carry
+        prev = [prev_a, prev_b]
+
+        @pl.when(i0 % _TR == 0)
+        def _(prev=prev):
+            for b in range(NB):
+                ckpt[b, pl.ds(i0 // _TR, 1), :, :] = prev[b][None, :, :]
+
+        for b in range(NB):
+            trot, qrot = load_chars(i0, b)
+            for r in range(_SUB16):
+                prev[b], _d = row_step(i0 + r, prev[b], trot, qrot, r, b)
+        return i0 + _SUB16, prev[0], prev[1]
+
+    _i, prev_a, prev_b = jax.lax.while_loop(
+        lambda c: c[0] <= i_max, fwd_group,
+        (jnp.int32(0), prev0[0], prev0[1]))
+    prev = [prev_a, prev_b]
+
+    best = []
+    best_k = []
+    ok = []
+    for b in range(NB):
+        jm = d0[b] + m[b] + (k - _KOFF16)
+        final = jnp.where(kvalid & (jm >= 0) & (jm <= n[b]),
+                          prev[b], jnp.int32(1 << 20))
+        best.append(jnp.min(final, axis=1, keepdims=True))
+        best_k.append(jnp.min(
+            jnp.where(final == best[b], k, jnp.int32(_W16)),
+            axis=1, keepdims=True))
+        ok.append((best[b] <= maxc[b]) & (m[b] > 0))
+
+    # ---- backward: per tile, re-forward into the dirs tile, then trace --
+    def tb_row(i, carry, blk_lo_row, blk_hi_row, b):
+        kk, ndel, strip = carry
+        active = (i >= 1) & (i <= m[b]) & ok[b]
+        row_lo = jnp.broadcast_to(blk_lo_row, (_SUB16, _W16))
+        row_hi = jnp.broadcast_to(blk_hi_row, (_SUB16, _W16))
+        row_d = jnp.where(
+            sub < 8,
+            (row_lo >> (4 * sub)) & 7,
+            (row_hi >> (4 * (sub - 8))) & 7,
+        )
+        opb = row_d & 3
+        nd_mask = (opb != 2) & (k <= kk)
+        kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                     axis=1, keepdims=True)
+        dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                       axis=1, keepdims=True)
+        optype = dval & 3
+        mbit = dval >> 2
+        dels = kk - kp
+        op2 = jnp.where(optype == 1, jnp.int32(2),
+                        jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
+        esc = (dels > 62) | (optype >= 3) | (dval < 0)
+        rec = jnp.where(esc, jnp.int32(TRACE_ESC), (op2 << 6) | dels)
+        pos = i - 1
+        lane = (pos % 512) // 4
+        sh8 = 8 * (pos % 4)
+        strip = jnp.where((lane128 == lane) & active,
+                          strip + (rec << sh8), strip)
+        flush = (pos % 512 == 0) & (i >= 1)
+
+        @pl.when(flush)
+        def _(strip=strip, pos=pos, b=b):
+            soff = pl.multiple_of(pos // 4, _W16)
+            trace[b, :, pl.ds(soff, _W16)] = strip
+
+        strip = jnp.where(flush, jnp.int32(0), strip)
+        kk = jnp.where(
+            active,
+            kp + jnp.where(optype == 1, jnp.int32(1), jnp.int32(0)),
+            kk)
+        ndel = ndel + jnp.where(active & ~esc, dels, jnp.int32(0))
+        return kk, ndel, strip
+
+    def tile_step(carry):
+        t, kk_a, kk_b, nd_a, nd_b, st_a, st_b = carry
+        kk = [kk_a, kk_b]
+        ndel = [nd_a, nd_b]
+        strip = [st_a, st_b]
+        tlo = t * _TR
+
+        # (a) re-forward this tile from its checkpoint, storing dirs
+        def refwd_group(c):
+            i0, prev_a, prev_b = c
+            prev = [prev_a, prev_b]
+            for b in range(NB):
+                trot, qrot = load_chars(i0, b)
+                dbuf_lo = zero_lo
+                dbuf_hi = zero_lo
+                for r in range(_SUB16):
+                    i = i0 + r
+                    prev[b], d = row_step(i, prev[b], trot, qrot, r, b)
+                    packed_lo = jnp.sum(
+                        jnp.where(sub < 8, d << (4 * sub), 0),
+                        axis=0, keepdims=True)
+                    packed_hi = jnp.sum(
+                        jnp.where(sub >= 8, d << (4 * (sub - 8)), 0),
+                        axis=0, keepdims=True)
+                    rowlive = (i >= 1) & (i <= i_max)
+                    dbuf_lo = jnp.where(
+                        (sub128 == r) & rowlive,
+                        jnp.broadcast_to(packed_lo, (_SUB16, _W16)),
+                        dbuf_lo)
+                    dbuf_hi = jnp.where(
+                        (sub128 == r) & rowlive,
+                        jnp.broadcast_to(packed_hi, (_SUB16, _W16)),
+                        dbuf_hi)
+                loc = pl.multiple_of(i0 - tlo, _SUB16)
+                dirs_lo[b, pl.ds(loc, _SUB16), :] = dbuf_lo
+                dirs_hi[b, pl.ds(loc, _SUB16), :] = dbuf_hi
+            return i0 + _SUB16, prev[0], prev[1]
+
+        pva = ckpt[0, pl.ds(t, 1), :, :][0]
+        pvb = ckpt[1, pl.ds(t, 1), :, :][0]
+        bound = jnp.minimum(tlo + _TR - _SUB16,
+                            (i_max // _SUB16) * _SUB16)
+        jax.lax.while_loop(lambda c: c[0] <= bound, refwd_group,
+                           (tlo, pva, pvb))
+
+        # (b) trace back through the tile, high row group to low
+        def tb_group(c):
+            g0, kk_a, kk_b, nd_a, nd_b, st_a, st_b = c
+            kk = [kk_a, kk_b]
+            ndel = [nd_a, nd_b]
+            strip = [st_a, st_b]
+            loc = pl.multiple_of(g0 - tlo, _SUB16)
+            for b in range(NB):
+                blk_lo = dirs_lo[b, pl.ds(loc, _SUB16), :]
+                blk_hi = dirs_hi[b, pl.ds(loc, _SUB16), :]
+                for r in range(_SUB16 - 1, -1, -1):
+                    kk[b], ndel[b], strip[b] = tb_row(
+                        g0 + r, (kk[b], ndel[b], strip[b]),
+                        blk_lo[r: r + 1, :], blk_hi[r: r + 1, :], b)
+            return (g0 - _SUB16, kk[0], kk[1], ndel[0], ndel[1],
+                    strip[0], strip[1])
+
+        out_tb = jax.lax.while_loop(
+            lambda c: c[0] >= tlo, tb_group,
+            (bound, kk[0], kk[1], ndel[0], ndel[1], strip[0], strip[1]))
+        return (t - 1, out_tb[1], out_tb[2], out_tb[3], out_tb[4],
+                out_tb[5], out_tb[6])
+
+    z1 = jnp.zeros((_SUB16, 1), jnp.int32)
+    zs = jnp.zeros((_SUB16, _W16), jnp.int32)
+    out_t = jax.lax.while_loop(
+        lambda c: c[0] >= 0, tile_step,
+        (i_max // _TR, best_k[0], best_k[1], z1, z1, zs, zs))
+    k_fin = [out_t[1], out_t[2]]
+    ndel = [out_t[3], out_t[4]]
+
+    NEG = jnp.int32(-(1 << 30))
+    for b in range(NB):
+        cost = jnp.where(ok[b], best[b],
+                         jnp.where(m[b] > 0, jnp.int32(-1), jnp.int32(0)))
+        ops_len = jnp.where(ok[b], m[b] + ndel[b], 0)
+        tstart = jnp.where(ok[b], d0[b] + (k_fin[b] - _KOFF16), 0)
+        tend = jnp.where(ok[b], d0[b] + m[b] + (best_k[b] - _KOFF16), 0)
+        for s in range(_SUB16):
+            pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+            cost_ref[(NB * pid + b) * _SUB16 + s] = pick(cost)
+            len_ref[(NB * pid + b) * _SUB16 + s] = pick(ops_len)
+            ts_ref[(NB * pid + b) * _SUB16 + s] = pick(tstart)
+            te_ref[(NB * pid + b) * _SUB16 + s] = pick(tend)
+    trace_out[...] = trace[...]
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
+def _align_padded16t2(d0, q_len, t_len, max_cost, tpad, queries,
+                      m_pad: int, interpret: bool = False):
+    PB = tpad.shape[0]
+    assert PB % 2 == 0, "dual-block tiled kernel needs an even block count"
+    scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tw = m_pad + 3 * _W16
+    qw = m_pad + 2 * _W16
+    out = pl.pallas_call(
+        _kernel16t2,
+        grid=(PB // 2,),
+        in_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((2, _SUB16, tw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _SUB16, qw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((2, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, _TR, _W16), jnp.int32),
+            pltpu.VMEM((2, _TR, _W16), jnp.int32),
+            pltpu.VMEM((2, _SUB16, m_pad // 4), jnp.int32),
+            # +1: a query of exactly m_pad rows checkpoints at tile T
+            pltpu.VMEM((2, m_pad // _TR + 1, _SUB16, _W16), jnp.int32),
+        ],
+        interpret=interpret,
+    )(d0, q_len, t_len, max_cost, tpad, queries)
+    return out
+
+
 def banded_align_batch_tpu16(
     targets_flat: np.ndarray, t_off: np.ndarray, t_len: np.ndarray,
     queries_flat: np.ndarray, q_off: np.ndarray, q_len: np.ndarray,
@@ -933,9 +1225,10 @@ def banded_align_batch_tpu16(
     if m_pad > M_PAD16T_MAX:
         raise ValueError("query too long for the v2/v3 kernels")
     tiled = m_pad > M_PAD16_MAX      # v3 checkpoint-recompute kernel
+    dual_tiled = tiled and m_pad <= M_PAD16T2_MAX
     blocks = max(1, -(-P // _SUB16))
-    if not tiled and blocks % 2:
-        blocks += 1                  # dual-block v2 pairs up 16-pair blocks
+    if (not tiled or dual_tiled) and blocks % 2:
+        blocks += 1                  # dual-block kernels pair up blocks
     p_pad = blocks * _SUB16
     tw = m_pad + 3 * _W16
     qw = m_pad + 2 * _W16
@@ -962,7 +1255,8 @@ def banded_align_batch_tpu16(
     tla[:P] = t_len_s
     mca[:P] = q_len_s * max_cost_per_kb // 1000 + 8
 
-    kern = _align_padded16t if tiled else _align_padded16
+    kern = (_align_padded16t2 if dual_tiled
+            else _align_padded16t if tiled else _align_padded16)
     cost, ops_len, ts, te, trace = kern(
         d0a, qla, tla, mca,
         tpad.reshape(blocks, _SUB16, tw), qbuf.reshape(blocks, _SUB16, qw),

@@ -1451,8 +1451,11 @@ class _TpuDpHook:
 
                 self.batches += 1
                 pb = int(n_pairs) // 16
-                kern = (at._align_padded16t if self.M_CAP > at.M_PAD16_MAX
-                        else at._align_padded16)
+                kern = at._align_padded16
+                if self.M_CAP > at.M_PAD16_MAX:
+                    kern = (at._align_padded16t2
+                            if self.M_CAP <= at.M_PAD16T2_MAX and pb % 2 == 0
+                            else at._align_padded16t)
                 out = kern(
                     self.d0, self.qlen, self.tlen, self.maxc,
                     self.tpad.reshape(pb, 16, tw),

@@ -144,15 +144,20 @@ def test_engine_tpu_backend_graceful_fallback(tmp_path):
     assert res["ratio"] > 1.0
 
 
-def test_tpu16_tiled_kernel_matches_native(monkeypatch):
+@pytest.mark.parametrize("dual", [True, False])
+def test_tpu16_tiled_kernel_matches_native(monkeypatch, dual):
     """v3 row-tiled kernel (checkpoint-and-recompute for reference-length
     reads, hs2 avg 24,492 b) must match the exact C++ DP at W=63. Forced
     onto the tiled path with shrunken caps so interpret mode stays fast
-    while still crossing multiple row tiles."""
+    while still crossing multiple row tiles; dual=False shrinks the
+    dual-block cap too so the single-block variant (used above
+    M_PAD16T2_MAX) keeps parity coverage."""
     import nanospring_tpu.ops.align_tpu as at
 
     monkeypatch.setattr(at, "M_PAD16_MAX", 512)   # force the tiled kernel
     monkeypatch.setattr(at, "_TR", 512)           # multiple tiles at 2-3 kb
+    if not dual:
+        monkeypatch.setattr(at, "M_PAD16T2_MAX", 512)
     rng = np.random.default_rng(7)
     args = _mkbatch(6, rng, tmin=2200, tmax=3400, minov=1500)
     ref = banded_align_batch(*args, band=63, use_native=True)
