@@ -308,6 +308,51 @@ def dp_kernel_v3() -> None:
     # hs2-like reads (reference headline avg 24,492 b): m_pad 32768 ->
     # the DUAL-block tiled kernel; plus one ultra-long batch (110 kb ->
     # m_pad 131072, above M_PAD16T2_MAX) on the single-block variant
+    # device-compute-only timing for the dual-tiled kernel on the
+    # hs2-like shape (device-resident padded inputs, tiny-slice sync)
+    P, m = 64, 24_000
+    t_flat, t_off, t_len, q_flat, q_off, q_len, d0 = _make_pairs(
+        P, m, 0.04, seed=3)
+    m_pad = 32768
+    blocks = P // at._SUB16
+    tw = m_pad + 3 * at._W16
+    qw = m_pad + 2 * at._W16
+    tpad = np.full((P, tw), 0xFF, np.uint8)
+    qbuf = np.zeros((P, qw), np.uint8)
+    for p in range(P):
+        qbuf[p, :m] = q_flat[q_off[p]: q_off[p] + m]
+        lo = d0[p] - (at._KOFF16 + 1)
+        st = max(0, -lo)
+        en = min(tw, t_len[p] - lo)
+        tpad[p, st:en] = t_flat[t_off[p] + lo + st: t_off[p] + en + lo]
+    mca = (q_len * 500 // 1000 + 8).astype(np.int32)
+    args = [jax.device_put(a) for a in (
+        d0.astype(np.int32), q_len.astype(np.int32),
+        t_len.astype(np.int32), mca,
+        tpad.reshape(blocks, at._SUB16, tw),
+        qbuf.reshape(blocks, at._SUB16, qw))]
+    t0 = time.time()
+    out = at._align_padded16t2(*args, m_pad=m_pad)
+    _sync(out[0][:1])
+    compile_s = time.time() - t0
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = at._align_padded16t2(*args, m_pad=m_pad)
+    _sync(out[0][:1])
+    dt = (time.time() - t0) / reps
+    bases = int(q_len.sum())
+    RES["kernels"]["dp_v3_dual_device"] = {
+        "batch": f"{P} pairs x {m} bases, m_pad {m_pad} (dual-block "
+                 f"tiled, checkpoint-recompute ~2x forward)",
+        "compile_s": round(compile_s, 2),
+        "device_wall_s": round(dt, 3),
+        "device_mbases_s": round(bases / dt / 1e6, 2),
+        "accept_rate": round(
+            float((np.asarray(out[0])[:P] >= 0).mean()), 3),
+    }
+    _save()
+
     for tag, P, m in (("dp_v3_hs2", 64, 24_000), ("dp_v3_long", 16, 110_000)):
         t_flat, t_off, t_len, q_flat, q_off, q_len, d0 = _make_pairs(
             P, m, 0.04, seed=3)
