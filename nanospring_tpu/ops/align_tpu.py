@@ -40,6 +40,7 @@ the number of compiled (batch, M_pad) shapes small.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -907,6 +908,292 @@ def _align_padded16t(d0, q_len, t_len, max_cost, tpad, queries,
     return out
 
 
+def _kernel16q(d0_ref, m_ref, n_ref, maxc_ref, tpad_ref, q_ref,
+               cost_ref, len_ref, ts_ref, te_ref, trace_out, dirs_ref,
+               stage, tb_stage, sem_w, sem_r):
+    """v4 quad-block kernel: FOUR independent 16-pair blocks per program,
+    direction words streamed to an HBM-resident output via manual DMA.
+
+    The dual-block kernel (_kernel16) is VMEM-bound: two blocks'
+    direction arrays fill the 16 MB scoped limit at m_pad 8192, yet the
+    chip microbenchmark shows FOUR interleaved row-chains cost the same
+    wall as one (~440 ns/row-chain at 4 vs ~1700 at 1 — the recurrence
+    is latency-bound). Moving dirs to HBM (16 KB DMA per 20-row group
+    per block, ~us-scale against ~14 us of group compute) frees VMEM to
+    ~2 MB and doubles the blocks in flight. Same band semantics, 3-bit/
+    10-row words, pad rescue at traceback unchanged.
+    """
+    pid = pl.program_id(0)
+    INF = jnp.int32(_INF16)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB16, 1), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _W16), 1)
+    NB = 4
+    GR = 20
+
+    def col(ref, b):
+        out = jnp.zeros((_SUB16, 1), jnp.int32)
+        for s in range(_SUB16):
+            out = jnp.where(sub == s, ref[(NB * pid + b) * _SUB16 + s], out)
+        return out
+
+    d0 = [col(d0_ref, b) for b in range(NB)]
+    m = [col(m_ref, b) for b in range(NB)]
+    n = [col(n_ref, b) for b in range(NB)]
+    maxc = [col(maxc_ref, b) for b in range(NB)]
+    i_max = jnp.max(jnp.stack([jnp.max(m[b]) for b in range(NB)]))
+
+    kvalid = k >= 1
+    prev0 = []
+    for b in range(NB):
+        j0 = d0[b] + (k - _KOFF16)
+        prev0.append(jnp.where(kvalid & (j0 >= 0) & (j0 <= n[b]),
+                               jnp.int32(0), INF))
+
+    def row_body(i, prev, trot, qrot, r, b):
+        tchar = trot[:, r: r + _W16]
+        qc = qrot[:, r: r + 1]
+        j = d0[b] + i + (k - _KOFF16)
+        jvalid = kvalid & (j >= 0) & (j <= n[b])
+        dvalid = (j >= 1) & (j <= n[b])
+        match = tchar == qc
+        diag = jnp.where(
+            dvalid & (prev < INF),
+            prev + jnp.where(match, jnp.int32(0), jnp.int32(1)),
+            INF,
+        )
+        up = pltpu.roll(prev, _W16 - 1, axis=1)
+        up = jnp.where((k < _W16 - 1) & (up < INF),
+                       up + jnp.int32(1), INF)
+        base = jnp.where(jvalid, jnp.minimum(diag, up), INF)
+        x = base - k
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            shifted = jnp.where(k >= sh, pltpu.roll(x, sh, axis=1), INF)
+            x = jnp.minimum(x, shifted)
+        cur = jnp.where(jvalid, jnp.minimum(base, x + k), INF)
+        d = jnp.where(
+            cur == diag, jnp.where(match, jnp.int32(4), jnp.int32(0)),
+            jnp.where(cur == up, jnp.int32(1), jnp.int32(2)),
+        )
+        d = jnp.where(cur >= INF, jnp.int32(3), d)
+        live = (i >= 1) & (i <= m[b])
+        prev = jnp.where(live, cur, prev)
+        return prev, d
+
+    def row_group(carry):
+        i0 = carry[0]
+        prev = list(carry[1:])
+        # previous group's staging DMAs must land before reuse (the wait
+        # descriptor's SHAPE must match the started copy's — the slice
+        # offset is irrelevant to the byte count)
+        @pl.when(i0 > 0)
+        def _():
+            for b in range(NB):
+                pltpu.make_async_copy(
+                    stage.at[b],
+                    dirs_ref.at[NB * pid + b, pl.ds(0, 2)],
+                    sem_w.at[b]).wait()
+        ib = pl.multiple_of(((jnp.maximum(i0, 1) - 1) // 128) * 128, 128)
+        rot0 = i0 - ib
+        trot = []
+        qrot = []
+        for b in range(NB):
+            tch = tpad_ref[b, :, pl.ds(ib, 3 * _W16)].astype(jnp.int32)
+            trot.append(pltpu.roll(tch, 3 * _W16 - rot0, axis=1))
+            qch = q_ref[b, :, pl.ds(ib, 2 * _W16)].astype(jnp.int32)
+            qrot.append(pltpu.roll(
+                qch, 2 * _W16 - (rot0 - 1) % (2 * _W16), axis=1))
+        w0 = [jnp.zeros((_SUB16, _W16), jnp.int32) for _ in range(NB)]
+        w1 = [jnp.zeros((_SUB16, _W16), jnp.int32) for _ in range(NB)]
+        for r in range(GR):
+            i = i0 + r
+            for b in range(NB):
+                prev[b], d = row_body(i, prev[b], trot[b], qrot[b], r, b)
+                if r < 10:
+                    w0[b] = w0[b] | (d << (3 * r))
+                else:
+                    w1[b] = w1[b] | (d << (3 * (r - 10)))
+        wi = pl.multiple_of(i0 // 10, 2)
+        for b in range(NB):
+            stage[b, 0, :, :] = w0[b]
+            stage[b, 1, :, :] = w1[b]
+            pltpu.make_async_copy(
+                stage.at[b],
+                dirs_ref.at[NB * pid + b, pl.ds(wi, 2)],
+                sem_w.at[b]).start()
+        return (i0 + GR,) + tuple(prev)
+
+    fin = jax.lax.while_loop(
+        lambda c: c[0] <= i_max, row_group,
+        (jnp.int32(0),) + tuple(prev0))
+    prev = list(fin[1:])
+    # drain the final group's DMAs (same-shape descriptor for the wait)
+    for b in range(NB):
+        pltpu.make_async_copy(
+            stage.at[b],
+            dirs_ref.at[NB * pid + b, pl.ds(0, 2)],
+            sem_w.at[b]).wait()
+
+    best = []
+    best_k = []
+    ok = []
+    for b in range(NB):
+        jm = d0[b] + m[b] + (k - _KOFF16)
+        final = jnp.where(kvalid & (jm >= 0) & (jm <= n[b]),
+                          prev[b], jnp.int32(1 << 20))
+        best.append(jnp.min(final, axis=1, keepdims=True))
+        best_k.append(jnp.min(
+            jnp.where(final == best[b], k, jnp.int32(_W16)),
+            axis=1, keepdims=True))
+        ok.append((best[b] <= maxc[b]) & (m[b] > 0))
+
+    def tb_group(carry):
+        # ping-pong prefetch: this group's words were started by the
+        # previous iteration (or the pre-loop priming); wait them, then
+        # immediately start the NEXT group's loads into the other buffer
+        # so the DMA latency hides under this group's 20 rows of compute
+        g0 = carry[0]
+        kk = list(carry[1:1 + NB])
+        ndel = list(carry[1 + NB:1 + 2 * NB])
+        strip = list(carry[1 + 2 * NB:1 + 3 * NB])
+        par = (g0 // GR) % 2
+        for b in range(NB):
+            pltpu.make_async_copy(
+                dirs_ref.at[NB * pid + b, pl.ds(0, 2)],
+                tb_stage.at[par, b],
+                sem_r.at[par, b]).wait()
+
+        @pl.when(g0 - GR >= 0)
+        def _():
+            nwi = pl.multiple_of((g0 - GR) // 10, 2)
+            for b in range(NB):
+                pltpu.make_async_copy(
+                    dirs_ref.at[NB * pid + b, pl.ds(nwi, 2)],
+                    tb_stage.at[1 - par, b],
+                    sem_r.at[1 - par, b]).start()
+
+        blk0 = [tb_stage[par, b, 0] for b in range(NB)]
+        blk1 = [tb_stage[par, b, 1] for b in range(NB)]
+        for r in range(GR - 1, -1, -1):
+            i = g0 + r
+            for b in range(NB):
+                active = (i >= 1) & (i <= m[b]) & ok[b]
+                src = blk1[b] if r >= 10 else blk0[b]
+                row_d = (src >> (3 * (r % 10))) & 7
+                opb = row_d & 3
+                nd_mask = (opb != 2) & (k <= kk[b])
+                kp = jnp.max(jnp.where(nd_mask, k, jnp.int32(-1)),
+                             axis=1, keepdims=True)
+                dval = jnp.max(jnp.where(k == kp, row_d, jnp.int32(-1)),
+                               axis=1, keepdims=True)
+                optype = dval & 3
+                mbit = dval >> 2
+                dels = kk[b] - kp
+                op2 = jnp.where(
+                    optype == 1, jnp.int32(2),
+                    jnp.where(mbit == 1, jnp.int32(0), jnp.int32(1)))
+                esc = (dels > 62) | (optype >= 3) | (dval < 0)
+                rec = jnp.where(esc, jnp.int32(TRACE_ESC),
+                                (op2 << 6) | dels)
+                pos = i - 1
+                lane = (pos % 512) // 4
+                sh8 = 8 * (pos % 4)
+                strip[b] = jnp.where((lane128 == lane) & active,
+                                     strip[b] + (rec << sh8), strip[b])
+                flush = (pos % 512 == 0) & (i >= 1)
+
+                @pl.when(flush)
+                def _(strip=strip[b], pos=pos, b=b):
+                    soff = pl.multiple_of(pos // 4, _W16)
+                    trace_out[b, :, pl.ds(soff, _W16)] = strip
+
+                strip[b] = jnp.where(flush, jnp.int32(0), strip[b])
+                kk[b] = jnp.where(
+                    active,
+                    kp + jnp.where(optype == 1, jnp.int32(1),
+                                   jnp.int32(0)),
+                    kk[b])
+                ndel[b] = ndel[b] + jnp.where(active & ~esc, dels,
+                                              jnp.int32(0))
+        return (g0 - GR,) + tuple(kk) + tuple(ndel) + tuple(strip)
+
+    z1 = jnp.zeros((_SUB16, 1), jnp.int32)
+    zs = jnp.zeros((_SUB16, _W16), jnp.int32)
+    g_top = (i_max // GR) * GR
+    # prime the first traceback group's loads
+    par0 = (g_top // GR) % 2
+    for b in range(NB):
+        pltpu.make_async_copy(
+            dirs_ref.at[NB * pid + b,
+                        pl.ds(pl.multiple_of(g_top // 10, 2), 2)],
+            tb_stage.at[par0, b],
+            sem_r.at[par0, b]).start()
+    out_tb = jax.lax.while_loop(
+        lambda c: c[0] >= 0, tb_group,
+        (g_top,) + tuple(best_k)
+        + tuple(z1 for _ in range(NB)) + tuple(zs for _ in range(NB)))
+    k_fin = list(out_tb[1:1 + NB])
+    ndel = list(out_tb[1 + NB:1 + 2 * NB])
+
+    NEG = jnp.int32(-(1 << 30))
+    for b in range(NB):
+        cost = jnp.where(ok[b], best[b],
+                         jnp.where(m[b] > 0, jnp.int32(-1), jnp.int32(0)))
+        ops_len = jnp.where(ok[b], m[b] + ndel[b], 0)
+        tstart = jnp.where(ok[b], d0[b] + (k_fin[b] - _KOFF16), 0)
+        tend = jnp.where(ok[b], d0[b] + m[b] + (best_k[b] - _KOFF16), 0)
+        for s in range(_SUB16):
+            pick = lambda c: jnp.max(jnp.where(sub == s, c, NEG))
+            cost_ref[(NB * pid + b) * _SUB16 + s] = pick(cost)
+            len_ref[(NB * pid + b) * _SUB16 + s] = pick(ops_len)
+            ts_ref[(NB * pid + b) * _SUB16 + s] = pick(tstart)
+            te_ref[(NB * pid + b) * _SUB16 + s] = pick(tend)
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "interpret"))
+def _align_padded16q(d0, q_len, t_len, max_cost, tpad, queries,
+                     m_pad: int, interpret: bool = False):
+    PB = tpad.shape[0]
+    assert PB % 4 == 0, "quad-block kernel needs a 4-multiple block count"
+    scalar = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tw = m_pad + 3 * _W16
+    qw = m_pad + 2 * _W16
+    nwords = m_pad // 10 + 5
+    out = pl.pallas_call(
+        _kernel16q,
+        grid=(PB // 4,),
+        in_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((4, _SUB16, tw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _SUB16, qw), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            scalar(), scalar(), scalar(), scalar(),
+            pl.BlockSpec((4, _SUB16, m_pad // 4), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB * _SUB16,), jnp.int32),
+            jax.ShapeDtypeStruct((PB, _SUB16, m_pad // 4), jnp.int32),
+            jax.ShapeDtypeStruct((PB, nwords, _SUB16, _W16), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, 2, _SUB16, _W16), jnp.int32),      # fwd staging
+            pltpu.VMEM((2, 4, 2, _SUB16, _W16), jnp.int32),   # tb ping-pong
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(d0, q_len, t_len, max_cost, tpad, queries)
+    return out[:5]
+
+
 M_PAD16T2_MAX = 65536     # dual-block tiled kernel VMEM cap: tpad+q+trace
                           # + ckpt + two dirs tiles ~ 11 MB at 65536; the
                           # 131072 cap stays on the single-block kernel
@@ -1226,9 +1513,12 @@ def banded_align_batch_tpu16(
         raise ValueError("query too long for the v2/v3 kernels")
     tiled = m_pad > M_PAD16_MAX      # v3 checkpoint-recompute kernel
     dual_tiled = tiled and m_pad <= M_PAD16T2_MAX
+    quad = (not tiled) and os.environ.get("NSTPU_DP_QUAD") == "1"
     blocks = max(1, -(-P // _SUB16))
-    if (not tiled or dual_tiled) and blocks % 2:
-        blocks += 1                  # dual-block kernels pair up blocks
+    if quad:
+        blocks = -(-blocks // 4) * 4    # quad-block v4 groups 4 blocks
+    elif (not tiled or dual_tiled) and blocks % 2:
+        blocks += 1                     # dual-block kernels pair blocks
     p_pad = blocks * _SUB16
     tw = m_pad + 3 * _W16
     qw = m_pad + 2 * _W16
@@ -1256,7 +1546,8 @@ def banded_align_batch_tpu16(
     mca[:P] = q_len_s * max_cost_per_kb // 1000 + 8
 
     kern = (_align_padded16t2 if dual_tiled
-            else _align_padded16t if tiled else _align_padded16)
+            else _align_padded16t if tiled
+            else _align_padded16q if quad else _align_padded16)
     cost, ops_len, ts, te, trace = kern(
         d0a, qla, tla, mca,
         tpad.reshape(blocks, _SUB16, tw), qbuf.reshape(blocks, _SUB16, qw),

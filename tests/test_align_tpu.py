@@ -167,3 +167,23 @@ def test_tpu16_tiled_kernel_matches_native(monkeypatch, dual):
     for p in range(6):
         if tpu.cost[p] >= 0:
             assert _replay_ok(args, tpu, p), p
+
+
+def test_tpu16_quad_kernel_matches_native(monkeypatch):
+    """v4 quad-block kernel (HBM-streamed direction words via manual DMA,
+    NSTPU_DP_QUAD=1) must match the exact C++ DP. Kept as a routed-off
+    experiment: on-chip it ties the dual kernel (~23.6 Mb/s device) —
+    with direction stores and traceback included the kernel is no longer
+    recurrence-bound, so the extra interleaved chains buy nothing
+    (docs/TPU_ALIGNER.md, round 5)."""
+    import nanospring_tpu.ops.align_tpu as at
+
+    monkeypatch.setenv("NSTPU_DP_QUAD", "1")
+    rng = np.random.default_rng(9)
+    args = _mkbatch(21, rng)
+    ref = banded_align_batch(*args, band=63, use_native=True)
+    tpu = at.banded_align_batch_tpu16(*args, interpret=True)
+    assert np.array_equal(ref.cost, tpu.cost), (ref.cost, tpu.cost)
+    for p in range(21):
+        if tpu.cost[p] >= 0:
+            assert _replay_ok(args, tpu, p), p
