@@ -157,3 +157,40 @@ def test_nsbwt_beats_lzma6_on_owned_bench_streams():
         lz = len(lzma.compress(data, format=lzma.FORMAT_RAW, filters=FILT))
         assert ns <= lz * bound, (name, ns, lz)
         assert be.decompress("nsbwt", be.compress("nsbwt", data)) == data
+
+
+def test_nso1_roundtrip_fuzz():
+    """Order-1 range coder (exc-stream owner): exact round trip on random,
+    runny, and empty inputs."""
+    import numpy as np
+
+    from nanospring_tpu.codec import backends
+
+    rng = np.random.default_rng(12)
+    cases = [
+        b"",
+        b"x",
+        rng.integers(0, 256, 70_000, dtype=np.uint8).tobytes(),
+        (b"N" * 9999) + bytes(rng.integers(0, 256, 500, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 50_000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        coded = backends.compress_chunk("nso1", data)
+        assert backends.decompress_chunk("nso1", coded) == data
+
+
+def test_nsbwt_u64_chain_path_roundtrip():
+    """Inverse-BWT blocks past the 24-bit packing bound (n+1 >= 2^24) take
+    the u64 next-pointer path — exercised with a 17 MB low-entropy block."""
+    import numpy as np
+
+    from nanospring_tpu.codec import backends
+
+    rng = np.random.default_rng(5)
+    n = (1 << 24) + 4096
+    # random 4-letter data: entropy-codable (no raw-store escape) but
+    # LZP-resistant, so the BWT really runs on all n bytes and the
+    # inverse takes the u64 packed-pointer path
+    raw = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+    coded = backends.compress_chunk("nsbwt", raw)
+    assert backends.decompress_chunk("nsbwt", coded) == raw

@@ -45,3 +45,50 @@ def test_exc_stream_empty():
     )
     r, p, b = st.decode_exc_stream(buf)
     assert len(r) == len(p) == len(b) == 0
+
+
+def test_exc_stream_v1_layout_decodes():
+    """Archives written before the v2 exc layout (absolute positions, no
+    version marker) must keep decoding: decode_exc_stream distinguishes
+    the layouts by the leading varint-0 marker."""
+    import numpy as np
+
+    from nanospring_tpu.io import streams as st
+
+    exc_read = np.array([2, 2, 5, 9], dtype=np.int64)
+    exc_pos = np.array([10, 400, 7, 123456], dtype=np.int64)
+    exc_byte = np.array([78, 78, 82, 89], dtype=np.uint8)
+    # v1 writer: [varint n][id deltas][ABSOLUTE pos varints][bytes]
+    n = len(exc_read)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = exc_read[0]
+    deltas[1:] = np.diff(exc_read).astype(np.uint64)
+    buf = np.concatenate([
+        st.encode_varints(np.array([n], dtype=np.uint64)),
+        st.encode_varints(deltas),
+        st.encode_varints(exc_pos.astype(np.uint64)),
+        exc_byte,
+    ])
+    r, p, b = st.decode_exc_stream(buf)
+    assert (r == exc_read).all()
+    assert (p == exc_pos).all()
+    assert (b == exc_byte).all()
+
+
+def test_exc_stream_v2_many_per_read():
+    """Dense within-read exceptions (delta-coded positions) round-trip."""
+    import numpy as np
+
+    from nanospring_tpu.io import streams as st
+
+    rng = np.random.default_rng(4)
+    reads = np.repeat(np.arange(50, dtype=np.int64),
+                      rng.integers(1, 30, 50))
+    pos = np.concatenate([
+        np.sort(rng.choice(5000, size=(reads == r).sum(), replace=False))
+        for r in range(50)
+    ]).astype(np.int64)
+    byte = rng.integers(60, 90, len(reads)).astype(np.uint8)
+    buf = st.encode_exc_stream(reads, pos, byte)
+    r, p, b = st.decode_exc_stream(buf)
+    assert (r == reads).all() and (p == pos).all() and (b == byte).all()
