@@ -474,7 +474,7 @@ def decompress_file(
                     offs_nl = _excl_cumsum(final_lens + 1)
                     buf[offs_nl[exc_read] + exc_pos] = exc_byte
                 with open(out_path, "wb") as f:
-                    f.write(buf.tobytes())
+                    f.write(memoryview(buf))  # no 0.5 GB tobytes copy
             else:
                 final_offs = _excl_cumsum(final_lens)
                 out_buf = np.empty(total, dtype=np.uint8)

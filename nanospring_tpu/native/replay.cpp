@@ -4,6 +4,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -87,13 +88,18 @@ void ns_gather_reads(
     const uint8_t* member_seq, const uint8_t* lone_seq,
     const int64_t* src_off, const uint8_t* src_is_lone,
     const int64_t* lens, int64_t n_reads, uint8_t* out) {
-  int64_t o = 0;
+  // output offsets first so the copy loop parallelizes (the serial
+  // memcpy loop was ~47% of Gbase-scale decompress wall)
+  std::vector<int64_t> oo((size_t)n_reads + 1);
+  oo[0] = 0;
+  for (int64_t i = 0; i < n_reads; ++i) oo[(size_t)i + 1] = oo[(size_t)i] + lens[i] + 1;
+  #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_reads; ++i) {
     const uint8_t* src =
         (src_is_lone[i] ? lone_seq : member_seq) + src_off[i];
-    std::memcpy(out + o, src, size_t(lens[i]));
-    o += lens[i];
-    out[o++] = '\n';
+    uint8_t* dst = out + oo[(size_t)i];
+    std::memcpy(dst, src, size_t(lens[i]));
+    dst[lens[i]] = '\n';
   }
 }
 
