@@ -353,7 +353,7 @@ def _decompress_bounded(
                 if esel.any():
                     er = exc_read[esel] - lo
                     blk[boffs[er] + exc_pos[esel]] = exc_byte[esel]
-                f.write(blk.tobytes())
+                f.write(memoryview(blk))
                 lo = hi
         del mm
     os.unlink(spill.name)
